@@ -1,0 +1,326 @@
+"""Typed configuration for RGQA-TPU.
+
+Replaces the reference's import-time global argparse singleton
+(``src/param.py:33-150``) with frozen dataclasses, while keeping a CLI
+adapter that accepts the reference's flag names (``--llayers``, ``--tau``,
+``--loadLXMERTQA``, ...) so existing experiment recipes port over
+mechanically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Shared transformer encoder shape (BERT-base defaults, eps 1e-12).
+
+    Covers LXMERT (reference ``src/lxrt/modeling.py:141-169``), UNITER
+    (``src/uniter/entry.py:58-60``) and the caption matcher with one type.
+    """
+
+    hidden_size: int = 768
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    vocab_size: int = 30522
+    type_vocab_size: int = 2
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    # LXMERT stack depths (language / cross-modality / object-relationship).
+    l_layers: int = 9
+    x_layers: int = 5
+    r_layers: int = 5
+    # Single-stream depth (UNITER / caption BERT).
+    num_layers: int = 12
+    # Visual inputs: Faster-RCNN RoI features + box geometry.
+    visual_feat_dim: int = 2048
+    visual_pos_dim: int = 4  # 7 for UNITER's box transform
+    num_objects: int = 36
+    # Pretraining label spaces (Visual Genome detections).
+    obj_vocab_size: int = 1600
+    attr_vocab_size: int = 400
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """A backbone + answer-head configuration."""
+
+    backbone: str = "lxmert"  # lxmert | uniter | butd | vilt | caps
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    num_answers: int = 1842
+    max_text_len: int = 20  # LXMERT/UNITER question length; BUTD uses 40
+    # BUTD-specific shape (reference src/butd/butd.py:113-131).
+    butd_embed_dim: int = 300
+    butd_hidden_dim: int = 1024
+    # ViLT-specific shape (ViT-B/32).
+    vilt_patch_size: int = 32
+    vilt_image_size: int = 384
+    # Branched-confidence head (reference gqa_model_branched.py:28-51).
+    branched: bool = False
+    project_size: int = 128
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer recipe (reference BertAdam, ``src/lxrt/optimization.py``)."""
+
+    name: str = "bert"  # bert | adam | adamw | sgd
+    lr: float = 1e-5
+    warmup: float = 0.1
+    weight_decay: float = 0.01
+    grad_clip: float = 5.0
+    schedule: str = "warmup_linear"
+    # BertAdam semantics: no bias correction (optimization.py:52+).
+    bias_correction: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    epochs: int = 4
+    seed: int = 9595
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    dropout: float = 0.1
+    # Loss: 'bce' = per-answer binary CE x num_answers (reference
+    # gqa_conf.py:197); 'mce' = softmax CE (--mceLoss).
+    loss: str = "bce"
+    # RP pseudo-UQ in-batch negative pairing (gqa_conf.py:155-170).
+    sample_pair: bool = False
+    # Mixup-RoI (gqa_mixup_vis.py): mode + beta params.
+    mixup_mode: Optional[str] = None
+    mixup_alpha: float = 1.0
+    mixup_beta: float = 1.0
+    lam: float = 0.5
+    lam1: float = 0.5
+    lam2: float = 0.05
+    # Energy regularization margins (gqa_energy.py:122-138).
+    m_in: float = 25.0
+    m_out: float = 0.0
+    # Cartography chart dumps (gqa.py:141-150).
+    chart: bool = False
+    save_all: bool = False
+    # Mixed precision: bf16 compute with f32 params/optimizer state.
+    use_bf16: bool = True
+
+
+@dataclass(frozen=True)
+class OODConfig:
+    """Rejection-scoring configuration (reference flags param.py:41-54)."""
+
+    scorer: str = "msp"
+    tau: float = 0.5
+    temperature: float = 1.0
+    noise: float = 0.0
+    target_acc: Optional[float] = None
+    seed_list: tuple[int, ...] = ()
+    ensemble_method: str = "mean"
+    topk: int = 5
+    mix_branched_score: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_root: str = "data"
+    train_splits: str = "train"
+    valid_splits: str = "valid"
+    test_splits: Optional[str] = None
+    train_pos: str = "train"
+    train_neg: str = "train"
+    tiny: bool = False  # 512 images (gqa_data.py:21)
+    fast: bool = False  # 5000 images (gqa_data.py:22)
+    num_workers: int = 0
+    synthetic: bool = False  # generate synthetic data (this environment
+    # has no GQA download; see data/synthetic.py)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for SPMD execution.
+
+    ``data`` shards the batch over ICI; ``model`` optionally shards
+    attention heads / FFN / answer vocab (tensor parallelism). At RGQA model
+    sizes DP alone is the right default (SURVEY.md §2.3).
+    """
+
+    data_axis: int = -1  # -1 = all devices
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    ood: OODConfig = field(default_factory=OODConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    output: str = "snap/test"
+    load: Optional[str] = None
+    load_lxmert: Optional[str] = None
+    load_lxmert_qa: Optional[str] = None
+    load_gqa: Optional[str] = None
+    teacher_path: Optional[str] = None
+    from_scratch: bool = False
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    """CLI accepting the reference's flag names (``src/param.py:33-150``)."""
+    p = argparse.ArgumentParser(description="RGQA-TPU")
+    # Splits / data
+    p.add_argument("--train", default="train")
+    p.add_argument("--valid", default="valid")
+    p.add_argument("--test", default=None)
+    p.add_argument("--train_pos", default="train")
+    p.add_argument("--train_neg", default="train")
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--numWorkers", dest="num_workers", type=int, default=0)
+    # Training
+    p.add_argument("--batchSize", dest="batch_size", type=int, default=32)
+    p.add_argument("--optim", default="bert")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=9595)
+    p.add_argument("--mceLoss", dest="mce_loss", action="store_true")
+    p.add_argument("--sample_pair", action="store_true")
+    p.add_argument("--mixup_mode", default=None)
+    p.add_argument("--mixup_alpha", type=float, default=1.0)
+    p.add_argument("--mixup_beta", type=float, default=1.0)
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--lam1", type=float, default=0.5)
+    p.add_argument("--lam2", type=float, default=0.05)
+    p.add_argument("--m_in", type=float, default=25.0)
+    p.add_argument("--m_out", type=float, default=0.0)
+    p.add_argument("--chart", action="store_true")
+    p.add_argument("--save_all", action="store_true")
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    # Model shape
+    p.add_argument("--backbone", default="lxmert")
+    p.add_argument("--llayers", type=int, default=9)
+    p.add_argument("--xlayers", type=int, default=5)
+    p.add_argument("--rlayers", type=int, default=5)
+    p.add_argument("--project_size", type=int, default=128)
+    # OOD / rejection
+    p.add_argument("--scorer", default="msp")
+    p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--target_acc", type=float, default=None)
+    p.add_argument("--seed_list", type=str, default=None)
+    p.add_argument("--ensemble_method", default="mean")
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--mix_branched_score", action="store_true")
+    # Loading / output
+    p.add_argument("--output", default="snap/test")
+    p.add_argument("--load", default=None)
+    p.add_argument("--loadLXMERT", dest="load_lxmert", default=None)
+    p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", default=None)
+    p.add_argument("--load_gqa", default=None)
+    p.add_argument("--teacher_path", default=None)
+    p.add_argument("--fromScratch", dest="from_scratch", action="store_true")
+    # Pretraining tasks
+    p.add_argument("--taskMatched", dest="task_matched", action="store_true")
+    p.add_argument("--taskMaskLM", dest="task_mask_lm", action="store_true")
+    p.add_argument("--taskObjPredict", dest="task_obj_predict", action="store_true")
+    p.add_argument("--taskQA", dest="task_qa", action="store_true")
+    p.add_argument("--visualLosses", dest="visual_losses", default="obj,attr,feat")
+    p.add_argument("--qaSets", dest="qa_sets", default=None)
+    p.add_argument("--wordMaskRate", dest="word_mask_rate", type=float, default=0.15)
+    p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float, default=0.15)
+    # Accepted for script compatibility; multi-device use is controlled by
+    # the mesh, not this flag.
+    p.add_argument("--multiGPU", action="store_true")
+    p.add_argument("--tqdm", action="store_true")
+    return p
+
+
+def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse.Namespace]:
+    """Parse reference-style CLI flags into a :class:`RunConfig`.
+
+    Returns the config plus the raw namespace (for task-specific extras
+    like pretraining task toggles).
+    """
+    ns = _build_parser().parse_args(argv)
+    seed_list = (
+        tuple(int(s) for s in ns.seed_list.split(",")) if ns.seed_list else ()
+    )
+    encoder = EncoderConfig(
+        l_layers=ns.llayers,
+        x_layers=ns.xlayers,
+        r_layers=ns.rlayers,
+        hidden_dropout=ns.dropout,
+        attention_dropout=ns.dropout,
+    )
+    cfg = RunConfig(
+        model=ModelConfig(
+            backbone=ns.backbone,
+            encoder=encoder,
+            project_size=ns.project_size,
+        ),
+        train=TrainConfig(
+            batch_size=ns.batch_size,
+            epochs=ns.epochs,
+            seed=ns.seed,
+            optim=OptimConfig(name=ns.optim, lr=ns.lr),
+            dropout=ns.dropout,
+            loss="mce" if ns.mce_loss else "bce",
+            sample_pair=ns.sample_pair,
+            mixup_mode=ns.mixup_mode,
+            mixup_alpha=ns.mixup_alpha,
+            mixup_beta=ns.mixup_beta,
+            lam=ns.lam,
+            lam1=ns.lam1,
+            lam2=ns.lam2,
+            m_in=ns.m_in,
+            m_out=ns.m_out,
+            chart=ns.chart,
+            save_all=ns.save_all,
+            use_bf16=not ns.fp32,
+        ),
+        ood=OODConfig(
+            scorer=ns.scorer,
+            tau=ns.tau,
+            temperature=ns.temperature,
+            noise=ns.noise,
+            target_acc=ns.target_acc,
+            seed_list=seed_list,
+            ensemble_method=ns.ensemble_method,
+            topk=ns.topk,
+            mix_branched_score=ns.mix_branched_score,
+        ),
+        data=DataConfig(
+            data_root=ns.data_root,
+            train_splits=ns.train,
+            valid_splits=ns.valid,
+            test_splits=ns.test,
+            train_pos=ns.train_pos,
+            train_neg=ns.train_neg,
+            tiny=ns.tiny,
+            fast=ns.fast,
+            num_workers=ns.num_workers,
+            synthetic=ns.synthetic,
+        ),
+        output=ns.output,
+        load=ns.load,
+        load_lxmert=ns.load_lxmert,
+        load_lxmert_qa=ns.load_lxmert_qa,
+        load_gqa=ns.load_gqa,
+        teacher_path=ns.teacher_path,
+        from_scratch=ns.from_scratch,
+    )
+    return cfg, ns

@@ -1,0 +1,199 @@
+"""Faster-RCNN object-feature TSV decoding and packing.
+
+The reference streams features from the bottom-up-attention TSV format
+(``src/utils.py:12-54``): rows of
+``[img_id, img_h, img_w, objects_id, objects_conf, attrs_id, attrs_conf,
+num_boxes, boxes, features]`` with base64-encoded numpy payloads, decoded on
+every startup (minutes of host time per run).
+
+The TPU-first design decodes **once** and packs everything into contiguous
+``.npy`` arrays under a directory (``pack_obj_tsv``), after which startup is
+a memory-map.  A native C++ decoder (``rgqa_tpu.native``) accelerates the
+one-time conversion when built; the numpy path below is the portable
+fallback and the correctness reference.
+"""
+
+from __future__ import annotations
+
+import base64
+import csv
+import json
+import os
+import sys
+import time
+from typing import Iterator
+
+import numpy as np
+
+__all__ = ["OBJ_TSV_FIELDS", "load_obj_tsv", "iter_obj_tsv", "pack_obj_tsv", "PackedFeatures"]
+
+OBJ_TSV_FIELDS = [
+    "img_id",
+    "img_h",
+    "img_w",
+    "objects_id",
+    "objects_conf",
+    "attrs_id",
+    "attrs_conf",
+    "num_boxes",
+    "boxes",
+    "features",
+]
+
+_B64_SPECS = {
+    # field -> (dtype, per-box width; None = scalar per box)
+    "objects_id": (np.int64, None),
+    "objects_conf": (np.float32, None),
+    "attrs_id": (np.int64, None),
+    "attrs_conf": (np.float32, None),
+    "boxes": (np.float32, 4),
+    "features": (np.float32, -1),  # -1: infer feature dim from payload
+}
+
+
+def _decode_row(row: dict) -> dict:
+    n = int(row["num_boxes"])
+    out = {
+        "img_id": row["img_id"],
+        "img_h": int(row["img_h"]),
+        "img_w": int(row["img_w"]),
+        "num_boxes": n,
+    }
+    for field, (dtype, width) in _B64_SPECS.items():
+        buf = np.frombuffer(base64.b64decode(row[field]), dtype=dtype)
+        if width is None:
+            arr = buf.reshape(n)
+        elif width == -1:
+            arr = buf.reshape(n, -1)
+        else:
+            arr = buf.reshape(n, width)
+        arr = np.array(arr)  # writable copy
+        arr.setflags(write=False)
+        out[field] = arr
+    return out
+
+
+def iter_obj_tsv(path: str) -> Iterator[dict]:
+    """Stream decoded rows from a bottom-up-attention TSV file."""
+    csv.field_size_limit(sys.maxsize)
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f, OBJ_TSV_FIELDS, delimiter="\t"):
+            yield _decode_row(row)
+
+
+def load_obj_tsv(path: str, topk: int | None = None) -> list[dict]:
+    """Load (up to ``topk``) decoded rows; mirrors ``src/utils.py:16-54``."""
+    start = time.time()
+    data = []
+    for i, row in enumerate(iter_obj_tsv(path)):
+        data.append(row)
+        if topk is not None and len(data) >= topk:
+            break
+    print(
+        f"Loaded {len(data)} images from {path} in {time.time() - start:.1f}s",
+        flush=True,
+    )
+    return data
+
+
+class PackedFeatures:
+    """Memory-mapped packed object features keyed by image id.
+
+    Layout on disk (directory):
+      - ``features.npy``  (N, num_boxes, feat_dim) float32
+      - ``boxes.npy``     (N, num_boxes, 4) float32 (absolute pixel coords)
+      - ``objects_id.npy``/``objects_conf.npy``/``attrs_id.npy``/
+        ``attrs_conf.npy`` (N, num_boxes)
+      - ``sizes.npy``     (N, 2) int32 — (img_h, img_w)
+      - ``img_ids.json``  list of image-id strings (row order)
+    """
+
+    ARRAYS = ("features", "boxes", "objects_id", "objects_conf", "attrs_id", "attrs_conf", "sizes")
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        with open(os.path.join(directory, "img_ids.json")) as f:
+            self.img_ids: list[str] = json.load(f)
+        self.index = {img_id: i for i, img_id in enumerate(self.img_ids)}
+        for name in self.ARRAYS:
+            setattr(
+                self,
+                name,
+                np.load(os.path.join(directory, f"{name}.npy"), mmap_mode="r"),
+            )
+
+    def __len__(self) -> int:
+        return len(self.img_ids)
+
+    def __contains__(self, img_id: str) -> bool:
+        return img_id in self.index
+
+    def row(self, img_id: str) -> dict:
+        i = self.index[img_id]
+        return {
+            "img_id": img_id,
+            "img_h": int(self.sizes[i, 0]),
+            "img_w": int(self.sizes[i, 1]),
+            "features": self.features[i],
+            "boxes": self.boxes[i],
+            "objects_id": self.objects_id[i],
+            "objects_conf": self.objects_conf[i],
+            "attrs_id": self.attrs_id[i],
+            "attrs_conf": self.attrs_conf[i],
+        }
+
+
+def pack_obj_tsv(
+    tsv_path: str,
+    out_dir: str,
+    topk: int | None = None,
+    num_boxes: int = 36,
+) -> PackedFeatures:
+    """One-time TSV → packed-array conversion (the offline converter).
+
+    Rows with a different box count than ``num_boxes`` are padded/truncated
+    to the fixed shape (the RGQA pipeline always uses 36 RoIs).
+    """
+    rows = []
+    for i, row in enumerate(iter_obj_tsv(tsv_path)):
+        rows.append(row)
+        if topk is not None and len(rows) >= topk:
+            break
+    if not rows:
+        raise ValueError(f"no rows decoded from {tsv_path}")
+
+    n = len(rows)
+    feat_dim = rows[0]["features"].shape[1]
+    features = np.zeros((n, num_boxes, feat_dim), dtype=np.float32)
+    boxes = np.zeros((n, num_boxes, 4), dtype=np.float32)
+    objects_id = np.zeros((n, num_boxes), dtype=np.int64)
+    objects_conf = np.zeros((n, num_boxes), dtype=np.float32)
+    attrs_id = np.zeros((n, num_boxes), dtype=np.int64)
+    attrs_conf = np.zeros((n, num_boxes), dtype=np.float32)
+    sizes = np.zeros((n, 2), dtype=np.int32)
+    img_ids = []
+    for i, row in enumerate(rows):
+        k = min(row["num_boxes"], num_boxes)
+        features[i, :k] = row["features"][:k]
+        boxes[i, :k] = row["boxes"][:k]
+        objects_id[i, :k] = row["objects_id"][:k]
+        objects_conf[i, :k] = row["objects_conf"][:k]
+        attrs_id[i, :k] = row["attrs_id"][:k]
+        attrs_conf[i, :k] = row["attrs_conf"][:k]
+        sizes[i] = (row["img_h"], row["img_w"])
+        img_ids.append(row["img_id"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, arr in [
+        ("features", features),
+        ("boxes", boxes),
+        ("objects_id", objects_id),
+        ("objects_conf", objects_conf),
+        ("attrs_id", attrs_id),
+        ("attrs_conf", attrs_conf),
+        ("sizes", sizes),
+    ]:
+        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+    with open(os.path.join(out_dir, "img_ids.json"), "w") as f:
+        json.dump(img_ids, f)
+    return PackedFeatures(out_dir)
