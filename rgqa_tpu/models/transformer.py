@@ -1,0 +1,301 @@
+"""Shared BERT-style transformer blocks (flax.linen).
+
+One implementation parameterized by (self vs. cross context, mask,
+attention-prob output, additive input deltas) that backs every backbone:
+
+- LXMERT language/vision/cross stacks (reference ``src/lxrt/modeling.py``),
+- UNITER's single-stream encoder (reference ``src/uniter/modeling.py``),
+- the caption-question matcher (reference ``src/caps/caps.py``),
+- the adversarial (``src/lxrt_adv``) and visualization (``src/lxrt_vis``)
+  forks, which here are arguments instead of 3.4k LoC of copies.
+
+Numerics pinned for checkpoint parity (SURVEY.md §7.3): LayerNorm eps
+1e-12, erf-form GELU (``modeling.py:112-118``), additive ``-10000`` masks
+(``modeling.py:857-873``), attention-prob dropout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rgqa_tpu.config import EncoderConfig
+from rgqa_tpu.ops.attention import attention_probs, multi_head_attention
+
+__all__ = [
+    "gelu",
+    "mask_to_bias",
+    "LayerNorm",
+    "TextEmbeddings",
+    "AttentionBlock",
+    "MLPBlock",
+    "EncoderLayer",
+    "CrossModalLayer",
+    "Pooler",
+]
+
+NEG_INF_MASK = -10000.0  # reference's additive mask value (modeling.py:861)
+
+dense_init = nn.initializers.normal(stddev=0.02)  # BERT truncated-normal
+
+
+def gelu(x):
+    """Exact erf-form GELU (reference ``modeling.py:112-118``)."""
+    return nn.gelu(x, approximate=False)
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, S) {0,1} mask -> (B, 1, 1, S) additive bias in ``dtype``."""
+    return ((1.0 - mask.astype(jnp.float32)) * NEG_INF_MASK).astype(dtype)[
+        :, None, None, :
+    ]
+
+
+class LayerNorm(nn.Module):
+    """BERT LayerNorm: eps 1e-12, f32 statistics, cast back to input dtype."""
+
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (y * scale + bias).astype(x.dtype)
+
+
+class TextEmbeddings(nn.Module):
+    """Word + position + token-type embeddings with LN and dropout.
+
+    ``delta`` is an optional additive perturbation applied to the summed
+    embedding before LayerNorm — the adversarial-training hook the
+    reference implements as a model fork (``lxrt_adv/modeling.py:277-287``).
+    """
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.word_embeddings = nn.Embed(
+            c.vocab_size, c.hidden_size, embedding_init=dense_init,
+            dtype=self.dtype,
+        )
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size,
+            embedding_init=dense_init, dtype=self.dtype,
+        )
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, embedding_init=dense_init,
+            dtype=self.dtype,
+        )
+        self.layer_norm = LayerNorm(eps=c.layer_norm_eps)
+        self.dropout = nn.Dropout(c.hidden_dropout)
+
+    def __call__(
+        self,
+        input_ids,
+        token_type_ids=None,
+        *,
+        delta: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        seq_len = input_ids.shape[-1]
+        word = self.word_embeddings(input_ids)
+        pos = self.position_embeddings(jnp.arange(seq_len)[None, :])
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        typ = self.token_type_embeddings(token_type_ids)
+        x = word + pos + typ
+        if delta is not None:
+            x = x + delta.astype(x.dtype)
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic=deterministic)
+
+    def type_embed(self, token_type_ids):
+        """Token-type lookup only (UNITER's image-token types)."""
+        return self.token_type_embeddings(token_type_ids)
+
+    @property
+    def word_table(self):
+        """The word-embedding matrix (for tied MLM decoding)."""
+        return self.word_embeddings.embedding
+
+
+class AttentionBlock(nn.Module):
+    """Multi-head attention + output projection + residual LayerNorm.
+
+    Covers both self-attention (``kv = x``) and cross-attention (``kv`` from
+    the other modality) — the reference's BertSelfattLayer /
+    BertCrossattLayer pair (``modeling.py:364-386``).
+    """
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        kv=None,
+        bias=None,
+        *,
+        deterministic: bool = True,
+        output_probs: bool = False,
+        use_fused: bool = False,
+    ):
+        c = self.cfg
+        kv = x if kv is None else kv
+        b, sq, _ = x.shape
+        skv = kv.shape[1]
+
+        def proj(name, inp):
+            y = nn.Dense(
+                c.hidden_size, kernel_init=dense_init, name=name,
+                dtype=self.dtype,
+            )(inp)
+            return y.reshape(b, -1, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q = proj("query", x)
+        k = proj("key", kv)
+        v = proj("value", kv)
+
+        probs = None
+        if output_probs or (not deterministic and c.attention_dropout > 0.0):
+            # Prob-dropout / visualization path: explicit probabilities.
+            probs = attention_probs(q, k, bias).astype(self.dtype)
+            dropped = nn.Dropout(c.attention_dropout)(
+                probs, deterministic=deterministic
+            )
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", dropped, v)
+        else:
+            ctx = multi_head_attention(q, k, v, bias, force_xla=not use_fused)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, c.hidden_size)
+
+        out = nn.Dense(
+            c.hidden_size, kernel_init=dense_init, name="out", dtype=self.dtype
+        )(ctx)
+        out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
+        out = LayerNorm(eps=c.layer_norm_eps, name="out_ln")(out + x)
+        return (out, probs) if output_probs else (out, None)
+
+
+class MLPBlock(nn.Module):
+    """GELU MLP + residual LayerNorm (reference ``modeling.py:389-415``)."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = self.cfg
+        h = nn.Dense(
+            c.intermediate_size, kernel_init=dense_init, name="inter",
+            dtype=self.dtype,
+        )(x)
+        h = gelu(h)
+        h = nn.Dense(
+            c.hidden_size, kernel_init=dense_init, name="out", dtype=self.dtype
+        )(h)
+        h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
+        return LayerNorm(eps=c.layer_norm_eps, name="out_ln")(h + x)
+
+
+class EncoderLayer(nn.Module):
+    """Standard BERT layer: self-attention + FFN (``modeling.py:418-429``)."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        bias=None,
+        *,
+        deterministic: bool = True,
+        output_probs: bool = False,
+        use_fused: bool = False,
+    ):
+        x, probs = AttentionBlock(self.cfg, self.dtype, name="att")(
+            x,
+            bias=bias,
+            deterministic=deterministic,
+            output_probs=output_probs,
+            use_fused=use_fused,
+        )
+        x = MLPBlock(self.cfg, self.dtype, name="mlp")(
+            x, deterministic=deterministic
+        )
+        return x, probs
+
+
+class CrossModalLayer(nn.Module):
+    """LXMERT cross-modal block (reference ``modeling.py:439-488``).
+
+    One bidirectional cross-attention — *the same* parameterized module
+    applied lang<-vis and vis<-lang (reference shares ``visual_attention``
+    both ways, ``modeling.py:455-459``) — followed by per-modality
+    self-attention and per-modality FFN.
+    """
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.cross_att = AttentionBlock(self.cfg, self.dtype)
+        self.lang_self = AttentionBlock(self.cfg, self.dtype)
+        self.visn_self = AttentionBlock(self.cfg, self.dtype)
+        self.lang_mlp = MLPBlock(self.cfg, self.dtype)
+        self.visn_mlp = MLPBlock(self.cfg, self.dtype)
+
+    def __call__(
+        self,
+        lang,
+        lang_bias,
+        visn,
+        visn_bias,
+        *,
+        deterministic: bool = True,
+        output_probs: bool = False,
+        use_fused: bool = False,
+    ):
+        kw = dict(deterministic=deterministic, use_fused=use_fused)
+        # Bidirectional cross-attention with shared weights.
+        lang_x, l_probs = self.cross_att(
+            lang, kv=visn, bias=visn_bias, output_probs=output_probs, **kw
+        )
+        visn_x, v_probs = self.cross_att(
+            visn, kv=lang, bias=lang_bias, output_probs=output_probs, **kw
+        )
+        # Per-modality self-attention.
+        lang_x, _ = self.lang_self(lang_x, bias=lang_bias, **kw)
+        visn_x, _ = self.visn_self(visn_x, bias=visn_bias, **kw)
+        # Per-modality FFN.
+        lang_x = self.lang_mlp(lang_x, deterministic=deterministic)
+        visn_x = self.visn_mlp(visn_x, deterministic=deterministic)
+        probs = (l_probs, v_probs) if output_probs else None
+        return lang_x, visn_x, probs
+
+
+class Pooler(nn.Module):
+    """CLS-token pooler: dense + tanh (reference ``modeling.py:569-581``)."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        cls = hidden[:, 0]
+        return jnp.tanh(
+            nn.Dense(
+                self.cfg.hidden_size, kernel_init=dense_init, name="dense",
+                dtype=self.dtype,
+            )(cls)
+        )
