@@ -1,0 +1,355 @@
+"""PyTorch checkpoint importer: reference ``state_dict`` -> flax params.
+
+Maps the reference's released checkpoints (``snap/gqa/...BEST.pth``,
+``snap/pretrained/model_LXRT.pth``) onto this framework's parameter trees,
+reproducing the reference's own loading quirks:
+
+- ``module.`` DataParallel prefix strip (``src/tasks/gqa.py:259-265``);
+- ``gamma``/``beta`` -> LayerNorm weight/bias renames
+  (``src/lxrt/modeling.py:792-801``);
+- ``bert.`` -> ``uniter.`` renames for UNITER (``src/uniter/entry.py:101-119``);
+- torch ``nn.Linear`` weights are (out, in) -> flax kernels (in, out).
+
+Key layout derived from ``src/lxrt/modeling.py`` module attributes
+(BertAttention 295-347, BertAttOutput 350-362, LXRTXLayer 439-488,
+VisualFeatEncoder 491-517) and ``src/tasks/gqa_model.py:20-27``
+(``logit_fc.{0,2,3}``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "import_lxmert_gqa",
+    "import_uniter_gqa",
+    "lxmert_key_map",
+    "uniter_key_map",
+    "assign_into_tree",
+]
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a ``.pth`` state_dict to numpy, applying the reference's
+    ``module.`` strip and gamma/beta renames."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "state_dict" in raw and not any(
+        hasattr(v, "numpy") for v in raw.values()
+    ):
+        raw = raw["state_dict"]
+    out = {}
+    for key, value in raw.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        key = key.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[key] = value.detach().cpu().numpy()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Key maps.  Each entry: torch key -> (flax path tuple, transpose?).
+# ---------------------------------------------------------------------------
+
+_LN = [("weight", "scale"), ("bias", "bias")]
+_DENSE = [("weight", "kernel"), ("bias", "bias")]
+
+
+def _dense(tkey: str, fpath: tuple) -> list:
+    return [
+        (f"{tkey}.weight", fpath + ("kernel",), True),
+        (f"{tkey}.bias", fpath + ("bias",), False),
+    ]
+
+
+def _ln(tkey: str, fpath: tuple) -> list:
+    return [
+        (f"{tkey}.weight", fpath + ("scale",), False),
+        (f"{tkey}.bias", fpath + ("bias",), False),
+    ]
+
+
+def _bert_layer(tprefix: str, fprefix: tuple) -> list:
+    """One BertLayer: attention.self/output + intermediate + output."""
+    m = []
+    for name in ("query", "key", "value"):
+        m += _dense(f"{tprefix}.attention.self.{name}", fprefix + ("att", name))
+    m += _dense(f"{tprefix}.attention.output.dense", fprefix + ("att", "out"))
+    m += _ln(f"{tprefix}.attention.output.LayerNorm", fprefix + ("att", "out_ln"))
+    m += _dense(f"{tprefix}.intermediate.dense", fprefix + ("mlp", "inter"))
+    m += _dense(f"{tprefix}.output.dense", fprefix + ("mlp", "out"))
+    m += _ln(f"{tprefix}.output.LayerNorm", fprefix + ("mlp", "out_ln"))
+    return m
+
+
+def _att_block(tprefix: str, fprefix: tuple, *, self_attr: str) -> list:
+    """A BertCrossattLayer (att/output) or BertSelfattLayer (self/output)."""
+    m = []
+    for name in ("query", "key", "value"):
+        m += _dense(f"{tprefix}.{self_attr}.{name}", fprefix + (name,))
+    m += _dense(f"{tprefix}.output.dense", fprefix + ("out",))
+    m += _ln(f"{tprefix}.output.LayerNorm", fprefix + ("out_ln",))
+    return m
+
+
+def _embeddings(tprefix: str, fprefix: tuple) -> list:
+    m = []
+    for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
+        m.append((f"{tprefix}.{name}.weight", fprefix + (name, "embedding"), False))
+    m += _ln(f"{tprefix}.LayerNorm", fprefix + ("layer_norm",))
+    return m
+
+
+def lxmert_key_map(
+    l_layers: int = 9,
+    x_layers: int = 5,
+    r_layers: int = 5,
+    *,
+    encoder_prefix: str = "bert.",
+    flax_prefix: tuple = ("lxmert",),
+    answer_head: bool = True,
+    branched: bool = False,
+) -> list[tuple[str, tuple, bool]]:
+    """Key map for GQAModel-style checkpoints.
+
+    Torch model layout: ``lxrt_encoder.model.bert.*`` + ``logit_fc.*``
+    (``gqa_model.py:14-43``); pretraining checkpoints use bare ``bert.*``.
+    """
+    p = encoder_prefix
+    f = flax_prefix
+    m: list = []
+    m += _embeddings(f"{p}embeddings", f + ("embeddings",))
+    # VisualFeatEncoder (modeling.py:491-517).
+    m += _dense(f"{p}encoder.visn_fc.visn_fc", f + ("visual", "feat_proj"))
+    m += _ln(f"{p}encoder.visn_fc.visn_layer_norm", f + ("visual", "feat_ln"))
+    m += _dense(f"{p}encoder.visn_fc.box_fc", f + ("visual", "box_proj"))
+    m += _ln(f"{p}encoder.visn_fc.box_layer_norm", f + ("visual", "box_ln"))
+    for i in range(l_layers):
+        m += _bert_layer(f"{p}encoder.layer.{i}", f + (f"lang_{i}",))
+    for i in range(r_layers):
+        m += _bert_layer(f"{p}encoder.r_layers.{i}", f + (f"visn_{i}",))
+    for i in range(x_layers):
+        t = f"{p}encoder.x_layers.{i}"
+        fx = f + (f"x_{i}",)
+        m += _att_block(f"{t}.visual_attention", fx + ("cross_att",), self_attr="att")
+        m += _att_block(f"{t}.lang_self_att", fx + ("lang_self",), self_attr="self")
+        m += _att_block(f"{t}.visn_self_att", fx + ("visn_self",), self_attr="self")
+        m += _dense(f"{t}.lang_inter.dense", fx + ("lang_mlp", "inter"))
+        m += _dense(f"{t}.lang_output.dense", fx + ("lang_mlp", "out"))
+        m += _ln(f"{t}.lang_output.LayerNorm", fx + ("lang_mlp", "out_ln"))
+        m += _dense(f"{t}.visn_inter.dense", fx + ("visn_mlp", "inter"))
+        m += _dense(f"{t}.visn_output.dense", fx + ("visn_mlp", "out"))
+        m += _ln(f"{t}.visn_output.LayerNorm", fx + ("visn_mlp", "out_ln"))
+    m += _dense(f"{p}pooler.dense", f + ("pooler", "dense"))
+    if answer_head:
+        # logit_fc = Sequential(Linear, GeLU, BertLayerNorm, Linear)
+        # (gqa_model.py:20-27) -> indices 0, 2, 3.
+        m += _dense("logit_fc.0", ("answer_head", "dense"))
+        m += _ln("logit_fc.2", ("answer_head", "ln"))
+        m += _dense("logit_fc.3", ("answer_head", "logits"))
+    if branched:
+        m += _dense("conf_fc.0", ("conf_head", "dense"))
+        m += _ln("conf_fc.2", ("conf_head", "ln"))
+        m += _dense("conf_fc.3", ("conf_head", "logits"))
+    return m
+
+
+def uniter_key_map(
+    num_layers: int = 12,
+    *,
+    encoder_prefix: str = "uniter.",
+    flax_prefix: tuple = ("uniter",),
+    answer_head: bool = True,
+) -> list[tuple[str, tuple, bool]]:
+    """Key map for UNITER checkpoints (``src/uniter/modeling.py:560-655``).
+
+    ``UniterEncoder.load`` renames ``bert.`` -> ``uniter.``
+    (``entry.py:101-119``); embeddings/encoder follow BERT layout, image
+    embeddings add img/pos linears + their LayerNorms.
+    """
+    p = encoder_prefix
+    f = flax_prefix
+    m: list = []
+    m += _embeddings(f"{p}embeddings", f + ("embeddings",))
+    m += _dense(f"{p}img_embeddings.img_linear", f + ("img_embeddings", "img_linear"))
+    m += _ln(f"{p}img_embeddings.img_layer_norm", f + ("img_embeddings", "img_ln"))
+    m += _dense(f"{p}img_embeddings.pos_linear", f + ("img_embeddings", "pos_linear"))
+    m += _ln(f"{p}img_embeddings.pos_layer_norm", f + ("img_embeddings", "pos_ln"))
+    m += _ln(f"{p}img_embeddings.LayerNorm", f + ("img_embeddings", "ln"))
+    for i in range(num_layers):
+        m += _bert_layer(f"{p}encoder.layer.{i}", f + (f"layer_{i}",))
+    m += _dense(f"{p}pooler.dense", f + ("pooler", "dense"))
+    if answer_head:
+        m += _dense("logit_fc.0", ("answer_head", "dense"))
+        m += _ln("logit_fc.2", ("answer_head", "ln"))
+        m += _dense("logit_fc.3", ("answer_head", "logits"))
+    return m
+
+
+def assign_into_tree(
+    params: Any,
+    state_dict: Mapping[str, np.ndarray],
+    key_map: list[tuple[str, tuple, bool]],
+    *,
+    strict: bool = False,
+    torch_prefix: str = "",
+) -> tuple[Any, list[str], list[str]]:
+    """Copy mapped torch tensors into (a copy of) the flax param tree.
+
+    Returns (new_params, missing_torch_keys, unused_torch_keys) — the same
+    diff the reference prints on load (``src/lxrt/entry.py:138-149``).
+    """
+    import jax
+
+    flat = dict(state_dict)
+    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+
+    def setpath(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        old = node[path[-1]]
+        if tuple(old.shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{old.shape} vs {value.shape}"
+            )
+        node[path[-1]] = value.astype(np.asarray(old).dtype)
+
+    # flax FrozenDict vs plain dict: work on plain nested dicts.
+    new = jax.tree_util.tree_map(np.asarray, _to_mutable(new))
+
+    missing, used = [], set()
+    for tkey, fpath, transpose in key_map:
+        tk = torch_prefix + tkey
+        if tk not in flat:
+            missing.append(tk)
+            continue
+        val = flat[tk]
+        if transpose:
+            val = val.T
+        setpath(new, fpath, np.ascontiguousarray(val))
+        used.add(tk)
+    unused = [k for k in flat if k not in used]
+    if strict and missing:
+        raise KeyError(f"missing torch keys: {missing[:10]}...")
+    return new, missing, unused
+
+
+def _to_mutable(tree):
+    if isinstance(tree, Mapping):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def import_lxmert_gqa(
+    params: Any,
+    path: str,
+    *,
+    l_layers: int = 9,
+    x_layers: int = 5,
+    r_layers: int = 5,
+    branched: bool = False,
+    from_pretrain: bool = False,
+) -> tuple[Any, list[str], list[str]]:
+    """Import a reference GQA-LXMERT ``.pth`` into LxmertForGQA params.
+
+    ``from_pretrain`` loads a bare-encoder checkpoint
+    (``model_LXRT.pth``, keys ``bert.*``) instead of a full GQA model
+    (keys ``lxrt_encoder.model.bert.*`` + ``logit_fc.*``).
+    """
+    sd = load_torch_state_dict(path)
+    prefix = "" if from_pretrain else "lxrt_encoder.model."
+    key_map = lxmert_key_map(
+        l_layers, x_layers, r_layers,
+        answer_head=not from_pretrain,
+        branched=branched,
+    )
+    key_map = [
+        (("" if t.startswith("logit_fc") or t.startswith("conf_fc") else prefix) + t, f, tr)
+        for t, f, tr in key_map
+    ]
+    return assign_into_tree(params, sd, key_map)
+
+
+def load_lxmert_qa(
+    params: Any,
+    path: str,
+    label2ans: list[str] | Mapping[int, str],
+    *,
+    src_ans2id: Mapping[str, int],
+    l_layers: int = 9,
+    x_layers: int = 5,
+    r_layers: int = 5,
+    convert_ans=None,
+) -> tuple[Any, int, int]:
+    """Answer-head transplant from a QA-pretrained LXMERT
+    (reference ``load_lxmert_qa``, ``qa_answer_table.py:84-158``).
+
+    Loads the encoder (``bert.*``), copies the pretraining answer head's
+    dense+LN, and remaps the final-layer rows **by answer string**: rows
+    whose answer exists in the 9500-answer pretraining vocab are copied,
+    the rest zeroed.  Returns (params, n_loaded, n_zeroed).
+    """
+    sd = load_torch_state_dict(path)
+    enc_map = lxmert_key_map(
+        l_layers, x_layers, r_layers, answer_head=False
+    )
+    params, _, _ = assign_into_tree(params, sd, enc_map)
+    head_map = [
+        *_dense("answer_head.logit_fc.0", ("answer_head", "dense")),
+        *_ln("answer_head.logit_fc.2", ("answer_head", "ln")),
+    ]
+    params, _, _ = assign_into_tree(params, sd, head_map)
+
+    ans_w = sd["answer_head.logit_fc.3.weight"]  # (9500, hidden)
+    ans_b = sd["answer_head.logit_fc.3.bias"]
+    kernel = np.array(params["answer_head"]["logits"]["kernel"])  # (h, A)
+    bias = np.array(params["answer_head"]["logits"]["bias"])  # (A,)
+    if isinstance(label2ans, Mapping):
+        items = label2ans.items()
+    else:
+        items = enumerate(label2ans)
+    loaded = zeroed = 0
+    for label, ans in items:
+        if label >= kernel.shape[1]:
+            continue
+        key = convert_ans(ans) if convert_ans else ans
+        if key in src_ans2id:
+            sid = src_ans2id[key]
+            kernel[:, label] = ans_w[sid]
+            bias[label] = ans_b[sid]
+            loaded += 1
+        else:
+            kernel[:, label] = 0.0
+            bias[label] = 0.0
+            zeroed += 1
+    params["answer_head"]["logits"]["kernel"] = kernel
+    params["answer_head"]["logits"]["bias"] = bias
+    return params, loaded, zeroed
+
+
+def import_uniter_gqa(
+    params: Any, path: str, *, num_layers: int = 12
+) -> tuple[Any, list[str], list[str]]:
+    """Import a reference GQA-UNITER ``.pth`` into UniterForGQA params."""
+    sd = load_torch_state_dict(path)
+    # UNITER GQA models wrap the encoder as ``encoder.model.uniter.*``
+    # (uniter/entry.py + uniter.py); bare pretrained ckpts use ``bert.*``
+    # or ``uniter.*``.
+    if any(k.startswith("encoder.model.") for k in sd):
+        prefix = "encoder.model.uniter."
+    elif any(k.startswith("uniter.") for k in sd):
+        prefix = "uniter."
+    else:
+        prefix = "bert."
+    key_map = uniter_key_map(
+        num_layers,
+        encoder_prefix=prefix,
+        answer_head=any(k.startswith("logit_fc") for k in sd),
+    )
+    return assign_into_tree(params, sd, key_map)

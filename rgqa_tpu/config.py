@@ -62,6 +62,7 @@ class ModelConfig:
     # BUTD-specific shape (reference src/butd/butd.py:113-131).
     butd_embed_dim: int = 300
     butd_hidden_dim: int = 1024
+    butd_vocab_size: int = 2941  # GQA question vocab (preprocess.py builds it)
     # ViLT-specific shape (ViT-B/32).
     vilt_patch_size: int = 32
     vilt_image_size: int = 384

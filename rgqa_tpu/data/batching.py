@@ -1,0 +1,108 @@
+"""Sharded, prefetching batch iterators.
+
+Replaces torch ``DataLoader`` worker processes with a simple
+double-buffered pipeline: host batch build (numpy gather from memory-maps)
+overlaps device execution because ``jax`` dispatch is async — the next
+batch is device_put while the current step runs.  Shapes are static
+(fixed text length, 36 RoIs, padded final batch), so nothing recompiles.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as _queue
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from rgqa_tpu.parallel import pad_batch_to, shard_batch
+
+__all__ = ["batch_indices", "batch_iterator", "device_prefetch"]
+
+
+def batch_indices(
+    n: int,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield index arrays of (at most) ``batch_size``."""
+    order = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    for start in range(0, n, batch_size):
+        chunk = order[start : start + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            return
+        yield chunk
+
+
+def batch_iterator(
+    encoded,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = False,
+    with_target: bool = True,
+    pad_final: bool = True,
+) -> Iterator[tuple[list[str], dict, int]]:
+    """Yield ``(question_ids, host_batch, real_count)`` triples.
+
+    The final partial batch is padded to ``batch_size`` (repeat-last-row)
+    with ``real_count`` marking valid rows, keeping the jitted step's
+    shapes static.
+    """
+    for idx in batch_indices(
+        len(encoded), batch_size, shuffle=shuffle, rng=rng, drop_last=drop_last
+    ):
+        qids = [encoded.question_ids[i] for i in idx]
+        batch = encoded.gather_batch(idx, with_target=with_target)
+        real = len(idx)
+        if pad_final and real < batch_size:
+            batch, real = pad_batch_to(batch, batch_size)
+        yield qids, batch, real
+
+
+def device_prefetch(
+    host_iter: Iterator[tuple[list[str], dict, int]],
+    mesh=None,
+    *,
+    depth: int = 2,
+) -> Iterator[tuple[list[str], Any, int]]:
+    """Background-thread prefetch + device placement.
+
+    A worker thread builds host batches and device_puts them (sharded over
+    the mesh's ``data`` axis when a mesh is given) ``depth`` batches ahead,
+    overlapping input feed with device compute.
+    """
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        import jax
+
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def worker():
+        try:
+            for qids, batch, real in host_iter:
+                q.put((qids, put(batch), real))
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

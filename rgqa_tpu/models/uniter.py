@@ -31,10 +31,13 @@ __all__ = ["UniterModel", "UniterForGQA", "uniter_box_transform"]
 
 
 def uniter_box_transform(boxes: np.ndarray) -> np.ndarray:
-    """Normalized (x1, y1, x2, y2) -> UNITER's 7-d position feature.
+    """(x1, y1, x2, y2) RoI boxes -> UNITER's 7-d position feature.
 
-    Matches ``_uniterBoxes`` (reference ``gqa_data.py:240-250``), including
-    its row order quirk: output columns are (y1, x1, y2, x2, h, w, h*w).
+    Matches ``_uniterBoxes`` (reference ``gqa_data.py:240-250``) exactly,
+    including its quirks: output columns are (y1, x1, y2, x2, w, h, w*h)
+    — cols 4/5 really are x2-x1 then y2-y1 — and the reference feeds it
+    *unnormalized pixel* boxes (the /img_w norm only runs on the non-UNITER
+    branch, ``gqa_data.py:194-200``).
     """
     boxes = np.asarray(boxes, dtype=np.float32)
     out = np.zeros(boxes.shape[:-1] + (7,), dtype=np.float32)
@@ -42,8 +45,8 @@ def uniter_box_transform(boxes: np.ndarray) -> np.ndarray:
     out[..., 1] = boxes[..., 0]  # x1
     out[..., 2] = boxes[..., 3]  # y2
     out[..., 3] = boxes[..., 2]  # x2
-    out[..., 4] = out[..., 2] - out[..., 0]  # height
-    out[..., 5] = out[..., 3] - out[..., 1]  # width
+    out[..., 4] = out[..., 3] - out[..., 1]  # width  (x2 - x1)
+    out[..., 5] = out[..., 2] - out[..., 0]  # height (y2 - y1)
     out[..., 6] = out[..., 4] * out[..., 5]  # area
     return out
 

@@ -1,0 +1,151 @@
+"""Mahalanobis rejection scorer: on-device estimator + scorer.
+
+Rebuild of ``src/tasks/gqa_maha.py``:
+
+- :func:`fit_estimator` — per-class feature means + shared empirical
+  covariance precision.  The reference collects every pooled feature on
+  CPU and calls sklearn (``gqa_maha.py:120-189``, minutes + O(N·D) host
+  memory); here a single streaming pass accumulates per-class sums and one
+  global second-moment matrix on device, and the precision is a 768x768
+  ``pinvh`` at the end.
+- :func:`make_maha_scorer` — per-class Gaussian scores, input perturbation
+  against the top-class Gaussian loss, rescore (``gqa_maha.py:191-274``),
+  all inside one jit via ``jax.grad`` w.r.t. (feats, boxes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MahaEstimator", "fit_estimator", "make_maha_scorer"]
+
+
+class MahaEstimator(NamedTuple):
+    class_mean: jnp.ndarray  # (C, D)
+    precision: jnp.ndarray  # (D, D)
+
+
+def fit_estimator(
+    feature_batches: Iterable[tuple[np.ndarray, np.ndarray]],
+    num_classes: int,
+    feat_dim: int,
+) -> MahaEstimator:
+    """Fit per-class means + shared precision from (features, targets) batches.
+
+    ``targets`` are the multi-hot answer matrices (UQ column already
+    dropped); a feature contributes to class c whenever ``target[:, c] > 0``
+    — matching the reference's row-replication (``gqa_maha.py:155-168``).
+
+    Covariance matches sklearn ``EmpiricalCovariance`` (MLE, denominator N)
+    over the per-class-centered features:
+    ``(1/N) * (Σ w_ic f_i f_iᵀ  −  Σ_c n_c μ_c μ_cᵀ)``.
+    """
+
+    @jax.jit
+    def accumulate(carry, feats, targets):
+        sums, counts, second = carry
+        t = (targets > 0).astype(jnp.float32)  # (B, C)
+        f = feats.astype(jnp.float32)  # (B, D)
+        sums = sums + t.T @ f
+        counts = counts + jnp.sum(t, axis=0)
+        w = jnp.sum(t, axis=1)  # total class multiplicity per row
+        second = second + (f * w[:, None]).T @ f
+        return sums, counts, second
+
+    sums = jnp.zeros((num_classes, feat_dim), jnp.float32)
+    counts = jnp.zeros((num_classes,), jnp.float32)
+    second = jnp.zeros((feat_dim, feat_dim), jnp.float32)
+    for feats, targets in feature_batches:
+        sums, counts, second = accumulate(
+            (sums, counts, second), jnp.asarray(feats), jnp.asarray(targets)
+        )
+
+    counts_np = np.asarray(counts)
+    n_total = float(counts_np.sum())
+    safe = np.maximum(counts_np, 1.0)
+    mean = np.asarray(sums) / safe[:, None]
+    # MLE covariance of per-class-centered features.
+    cov = (np.asarray(second) - (counts_np[:, None] * mean).T @ mean) / max(
+        n_total, 1.0
+    )
+    # sklearn uses pinvh; scipy is available transitively via sklearn.
+    try:
+        from scipy.linalg import pinvh
+
+        precision = pinvh(cov)
+    except Exception:
+        precision = np.linalg.pinv(cov, hermitian=True)
+    return MahaEstimator(
+        class_mean=jnp.asarray(mean), precision=jnp.asarray(precision)
+    )
+
+
+def _gaussian_scores(outputs, mean, precision, *, class_block: int = 128):
+    """(B, C) scores: -0.5 * (f - mu_c)^T P (f - mu_c) per class.
+
+    The reference loops classes with two matmuls each
+    (``gqa_maha.py:229-236``).  The closed form
+    ``fPf - 2 fPmu + muPmu`` is cheaper but cancels catastrophically in
+    f32, so this computes the exact centered form over class *blocks*
+    (``lax.map``): each block is one (B*blk, D) x (D, D) matmul — MXU
+    shaped — at f32-exact parity with the reference.
+    """
+    c, d = mean.shape
+    pad = (-c) % class_block
+    mean_p = jnp.pad(mean, ((0, pad), (0, 0)))
+    blocks = mean_p.reshape(-1, class_block, d)
+
+    def one_block(mu_blk):
+        z = outputs[:, None, :] - mu_blk[None, :, :]  # (B, blk, D)
+        zP = jnp.einsum("bcd,de->bce", z, precision)
+        return -0.5 * jnp.sum(zP * z, axis=-1)  # (B, blk)
+
+    scores = jax.lax.map(one_block, blocks)  # (n_blk, B, blk)
+    scores = jnp.moveaxis(scores, 0, 1).reshape(outputs.shape[0], -1)
+    return scores[:, :c]
+
+
+def make_maha_scorer(
+    forward, estimator: MahaEstimator, *, noise: float = 0.0
+) -> Callable:
+    """Mahalanobis scorer with optional input perturbation."""
+    mean, precision = estimator.class_mean, estimator.precision
+
+    def top_gaussian_loss(feats, boxes, params, batch):
+        b = dict(batch)
+        b["feats"], b["boxes"] = feats, boxes
+        out = forward(params, b, deterministic=True)
+        pooled = out["pooled"].astype(jnp.float32)
+        scores = _gaussian_scores(pooled, mean, precision)
+        pred = jnp.argmax(jax.lax.stop_gradient(scores), axis=-1)
+        sel_mean = mean[pred]
+        zero_f = pooled - sel_mean
+        pure_gau = -0.5 * jnp.sum((zero_f @ precision) * zero_f, axis=-1)
+        return jnp.mean(-pure_gau)
+
+    @jax.jit
+    def score_fn(params, batch):
+        feats = batch["feats"].astype(jnp.float32)
+        boxes = batch["boxes"].astype(jnp.float32)
+        if noise:
+            g_feats, g_boxes = jax.grad(top_gaussian_loss, argnums=(0, 1))(
+                feats, boxes, params, batch
+            )
+            sign = lambda g: (jnp.where(g >= 0, 1.0, 0.0) - 0.5) * 2.0
+            feats = feats - noise * sign(g_feats)
+            boxes = boxes - noise * sign(g_boxes)
+        b = dict(batch)
+        b["feats"], b["boxes"] = feats, boxes
+        out = forward(params, b, deterministic=True)
+        pooled = out["pooled"].astype(jnp.float32)
+        scores = _gaussian_scores(pooled, mean, precision)
+        return {
+            "label": jnp.argmax(scores, axis=-1),
+            "score": jnp.max(scores, axis=-1),
+        }
+
+    return score_fn

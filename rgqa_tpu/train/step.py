@@ -1,0 +1,202 @@
+"""Jitted SPMD train / eval step factories.
+
+One compiled function per (backbone, strategy): forward + loss + global
+clip-by-norm 5.0 + BertAdam update, with the RP pseudo-UQ augmentation and
+the mixup-RoI augmentation running *on device* inside the same jit —
+replacing the reference's per-batch host Python loops
+(``gqa_conf.py:155-170``).
+
+All steps are written against the uniform forward adapter from
+``rgqa_tpu.models.zoo`` and a dict batch sharded over the mesh's ``data``
+axis; gradient all-reduce falls out of the batch sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rgqa_tpu.train.losses import (
+    bce_answer_loss,
+    branched_loss,
+    energy_regularizer,
+    mce_answer_loss,
+    weighted_bce_answer_loss,
+)
+from rgqa_tpu.train.state import TrainState
+
+__all__ = [
+    "make_train_step",
+    "make_eval_step",
+    "global_norm_clip",
+    "rp_augment",
+    "mixup_augment",
+]
+
+
+def global_norm_clip(grads, max_norm: float):
+    """Global clip-by-norm (reference ``clip_grad_norm_(params, 5.)``,
+    ``gqa_conf.py:201``)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: (g * scale).astype(g.dtype), grads)
+
+
+def rp_augment(batch: dict, rng: jax.Array) -> dict:
+    """Random-pairing pseudo-UQ negatives, on device (``gqa_conf.py:155-170``).
+
+    The reference doubles the batch by pairing each *image* with a question
+    sampled from a different image (rejection loop on host).  Here: roll the
+    text fields by a random offset in [1, B-1] — a different batch row is a
+    different image with probability ~1 for shuffled batches — keep vision
+    fields, and append with zero targets.
+    """
+    text_keys = [k for k in ("input_ids", "input_mask", "segment_ids", "token_ids") if k in batch]
+    vis_keys = [k for k in ("feats", "boxes", "pixels") if k in batch]
+    first = batch[text_keys[0]]
+    b = first.shape[0]
+    shift = jax.random.randint(rng, (), 1, b)
+
+    out = dict(batch)
+    for k in text_keys:
+        out[k] = jnp.concatenate([batch[k], jnp.roll(batch[k], shift, axis=0)], 0)
+    for k in vis_keys:
+        out[k] = jnp.concatenate([batch[k], batch[k]], 0)
+    out["target"] = jnp.concatenate(
+        [batch["target"], jnp.zeros_like(batch["target"])], 0
+    )
+    if "id_mask" in batch:
+        out["id_mask"] = jnp.concatenate(
+            [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
+        )
+    return out
+
+
+def mixup_augment(batch: dict, rng: jax.Array, alpha: float, beta: float, mode: str) -> dict:
+    """Mixup-RoI pseudo-UQ augmentation (reference ``gqa_mixup_vis.py``).
+
+    Vectorized: draw lambda ~ Beta(alpha, beta) per appended row, mix each
+    row's RoI features with a rolled partner's, zero the target.  ``mode``
+    'vis' mixes only vision; 'both' also mixes nothing textual (text from
+    the anchor row, as the reference keeps the anchor question).
+    """
+    del mode
+    lam_rng, roll_rng = jax.random.split(rng)
+    b = batch["feats"].shape[0]
+    lam = jax.random.beta(lam_rng, alpha, beta, (b, 1, 1))
+    shift = jax.random.randint(roll_rng, (), 1, b)
+    mixed_feats = lam * batch["feats"] + (1 - lam) * jnp.roll(batch["feats"], shift, 0)
+    mixed_boxes = lam * batch["boxes"] + (1 - lam) * jnp.roll(batch["boxes"], shift, 0)
+
+    out = dict(batch)
+    text_keys = [k for k in ("input_ids", "input_mask", "segment_ids", "token_ids") if k in batch]
+    for k in text_keys:
+        out[k] = jnp.concatenate([batch[k], batch[k]], 0)
+    out["feats"] = jnp.concatenate([batch["feats"], mixed_feats], 0)
+    out["boxes"] = jnp.concatenate([batch["boxes"], mixed_boxes], 0)
+    out["target"] = jnp.concatenate(
+        [batch["target"], jnp.zeros_like(batch["target"])], 0
+    )
+    if "id_mask" in batch:
+        out["id_mask"] = jnp.concatenate(
+            [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
+        )
+    return out
+
+
+def make_train_step(
+    forward: Callable,
+    *,
+    loss: str = "bce",
+    sample_pair: bool = False,
+    mixup_mode: Optional[str] = None,
+    mixup_alpha: float = 1.0,
+    mixup_beta: float = 1.0,
+    energy: bool = False,
+    m_in: float = 25.0,
+    m_out: float = 0.0,
+    branched: bool = False,
+    weighted: bool = False,
+    grad_clip: float = 5.0,
+    donate: bool = True,
+):
+    """Compile a full train step: augment -> forward -> loss -> clip -> update.
+
+    Returns ``step(state, batch, rng) -> (state, aux)`` where ``aux`` holds
+    the scalar loss plus per-row (score, label) for cartography charts
+    (``gqa_conf.py:204-215``).
+    """
+
+    def loss_fn(params, batch, rng):
+        drop_rng, aug_rng = jax.random.split(rng)
+        if sample_pair:
+            batch = rp_augment(batch, aug_rng)
+        elif mixup_mode:
+            batch = mixup_augment(batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode)
+        out = forward(params, batch, deterministic=False, rng=drop_rng)
+        logits = out["logits"].astype(jnp.float32)
+        target = batch["target"]
+        id_mask = batch.get("id_mask")
+
+        if branched:
+            total = branched_loss(
+                logits, out["conf"].astype(jnp.float32), target, id_mask,
+                mce=(loss == "mce"),
+            )
+        elif weighted:
+            total = weighted_bce_answer_loss(logits, target, batch["row_weights"])
+        elif loss == "mce":
+            total = mce_answer_loss(logits, target)
+        else:
+            total = bce_answer_loss(logits, target)
+        if energy:
+            total = total + energy_regularizer(
+                logits, id_mask, m_in, m_out, mce=(loss == "mce")
+            )
+
+        probs = jax.nn.sigmoid(logits)
+        aux = {
+            "loss": total,
+            "score": jnp.max(probs, axis=-1),
+            "label": jnp.argmax(probs, axis=-1),
+        }
+        return total, aux
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, batch, rng)
+        if grad_clip and grad_clip > 0:
+            grads = global_norm_clip(grads, grad_clip)
+        return state.apply_gradients(grads), aux
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(forward: Callable, *, with_logits: bool = False):
+    """Compile an inference step returning (label idx, MSP score[, logits]).
+
+    The MSP score is max-sigmoid (``gqa_conf.py:326``); scorers needing more
+    (energy top-2, ODIN, Mahalanobis, ...) build their own jitted functions
+    in ``rgqa_tpu.scorers``.
+    """
+
+    def step(params, batch):
+        out = forward(params, batch, deterministic=True)
+        logits = out["logits"].astype(jnp.float32)
+        probs = jax.nn.sigmoid(logits)
+        res = {
+            "label": jnp.argmax(probs, axis=-1),
+            "score": jnp.max(probs, axis=-1),
+        }
+        if "conf" in out:
+            res["conf"] = jax.nn.sigmoid(out["conf"].astype(jnp.float32))
+        if "pooled" in out:
+            res["pooled"] = out["pooled"].astype(jnp.float32)
+        if with_logits:
+            res["logits"] = logits
+        return res
+
+    return jax.jit(step)

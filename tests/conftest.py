@@ -1,18 +1,26 @@
 """Test configuration.
 
-Forces JAX onto a virtual 8-device CPU mesh so sharding/collective tests run
-without TPU hardware.  Must set env vars before the first ``import jax``
-anywhere in the test process.
+Forces JAX onto a virtual 8-device CPU mesh so sharding/collective tests
+run without TPU hardware.
+
+This environment imports jax in *every* process via a sitecustomize hook
+(with ``JAX_PLATFORMS=axon`` pointing at a real TPU tunnel), so env vars
+set here are too late — instead we retarget via ``jax.config`` before any
+backend is initialized (clients are created lazily on first use).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Persistent compilation cache: this box has a single CPU core, so cold XLA
+# compiles dominate test time; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

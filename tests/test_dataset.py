@@ -1,0 +1,111 @@
+"""Dataset/encoding/batching tests over the synthetic GQA tree."""
+
+import numpy as np
+import pytest
+
+from rgqa_tpu.data import (
+    EncodedGQA,
+    GQADataset,
+    PackedFeatures,
+    SyntheticSpec,
+    WordPieceTokenizer,
+    batch_iterator,
+    make_synthetic_gqa,
+)
+from rgqa_tpu.data.dataset import UQ_ANSWER, build_targets
+from rgqa_tpu.data.tokenizer import load_vocab
+from rgqa_tpu.models.uniter import uniter_box_transform
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gqa"))
+    info = make_synthetic_gqa(root, SyntheticSpec(n_images=16, n_train=64, n_valid=16, n_testdev=32))
+    return info
+
+
+@pytest.fixture(scope="module")
+def tokenizer(synth):
+    return WordPieceTokenizer(load_vocab(synth["vocab"]))
+
+
+class TestGQADataset:
+    def test_loads_splits_and_vocab(self, synth):
+        ds = GQADataset(synth["root"], "train,valid")
+        assert len(ds) == 80
+        assert ds.num_answers == synth["num_answers"]
+        qid = ds.data[0]["question_id"]
+        assert ds.id2datum[qid] is ds.data[0]
+
+    def test_add_uq_appends_last_class(self, synth):
+        ds = GQADataset(synth["root"], "train", add_uq=True)
+        assert ds.label2ans[-1] == UQ_ANSWER
+        assert ds.ans2label[UQ_ANSWER] == ds.num_answers - 1
+        assert ds.num_answers == synth["num_answers"] + 1
+
+
+class TestEncodedGQA:
+    def test_encode_and_batch(self, synth, tokenizer):
+        ds = GQADataset(synth["root"], "train", add_uq=True)
+        feats = PackedFeatures(synth["features"])
+        enc = EncodedGQA(ds, feats, tokenizer=tokenizer, max_text_len=20)
+        assert len(enc) == 64
+        assert enc.input_ids.shape == (64, 20)
+
+        qids, batch, real = next(iter(batch_iterator(enc, 16)))
+        assert real == 16
+        assert batch["feats"].shape == (16, 36, 2048)
+        assert batch["boxes"].shape == (16, 36, 4)
+        assert batch["boxes"].min() >= 0.0 and batch["boxes"].max() <= 1.0
+        # UQ-extended vocab: target sliced to real answers, id_mask present.
+        assert batch["target"].shape == (16, synth["num_answers"])
+        assert batch["id_mask"].shape == (16,)
+        np.testing.assert_array_equal(batch["id_mask"], 1.0)  # train = all AQ
+
+    def test_uq_split_id_mask_zero(self, synth, tokenizer):
+        ds = GQADataset(synth["root"], "train_uq", add_uq=True)
+        feats = PackedFeatures(synth["features"])
+        enc = EncodedGQA(ds, feats, tokenizer=tokenizer)
+        _, batch, _ = next(iter(batch_iterator(enc, 8)))
+        np.testing.assert_array_equal(batch["id_mask"], 0.0)
+        np.testing.assert_array_equal(batch["target"], 0.0)
+
+    def test_final_batch_padded(self, synth, tokenizer):
+        ds = GQADataset(synth["root"], "testdev", add_uq=True)
+        feats = PackedFeatures(synth["features"])
+        enc = EncodedGQA(ds, feats, tokenizer=tokenizer)
+        batches = list(batch_iterator(enc, 24))
+        assert len(batches) == 2
+        _, last, real = batches[-1]
+        assert last["input_ids"].shape == (24, 20)
+        assert real == 32 - 24
+
+    def test_uniter_boxes_are_7d_pixel(self, synth, tokenizer):
+        ds = GQADataset(synth["root"], "valid", add_uq=True)
+        feats = PackedFeatures(synth["features"])
+        enc = EncodedGQA(ds, feats, tokenizer=tokenizer, backbone="uniter")
+        _, batch, _ = next(iter(batch_iterator(enc, 8)))
+        assert batch["boxes"].shape[-1] == 7
+        # Pixel-space (reference feeds raw boxes to _uniterBoxes).
+        assert batch["boxes"][..., :4].max() > 2.0
+
+
+class TestUniterBoxTransform:
+    def test_matches_reference_column_order(self):
+        # Reference _uniterBoxes (gqa_data.py:240-250):
+        # out = (y1, x1, y2, x2, x2-x1, y2-y1, (x2-x1)*(y2-y1)).
+        box = np.array([[10.0, 20.0, 110.0, 70.0]])  # x1,y1,x2,y2
+        out = uniter_box_transform(box)
+        np.testing.assert_allclose(
+            out[0], [20.0, 10.0, 70.0, 110.0, 100.0, 50.0, 5000.0]
+        )
+
+
+class TestBuildTargets:
+    def test_scatter(self):
+        idx = np.array([[0, 2, -1], [1, -1, -1]], np.int32)
+        score = np.array([[1.0, 0.5, 0.0], [0.3, 0.0, 0.0]], np.float32)
+        t = build_targets(idx, score, 4)
+        np.testing.assert_allclose(
+            t, [[1.0, 0.0, 0.5, 0.0], [0.0, 0.3, 0.0, 0.0]]
+        )

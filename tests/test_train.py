@@ -1,0 +1,218 @@
+"""Training-layer tests: BertAdam parity, losses, SPMD train step."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgqa_tpu.config import EncoderConfig, ModelConfig
+from rgqa_tpu.models.zoo import build_model, example_batch
+from rgqa_tpu.parallel import make_mesh, shard_batch, shard_params
+from rgqa_tpu.train import (
+    bert_adam,
+    bce_answer_loss,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    mce_answer_loss,
+)
+from rgqa_tpu.train.losses import branched_loss, energy_regularizer
+
+
+TINY_ENC = EncoderConfig(
+    hidden_size=32,
+    num_heads=4,
+    intermediate_size=64,
+    vocab_size=256,
+    l_layers=2,
+    x_layers=1,
+    r_layers=1,
+    num_objects=6,
+    visual_feat_dim=16,
+)
+TINY_CFG = ModelConfig(
+    backbone="lxmert", encoder=TINY_ENC, num_answers=11, max_text_len=6
+)
+
+
+def _init(model, batch):
+    return model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["input_mask"]),
+        jnp.asarray(batch["segment_ids"]),
+        jnp.asarray(batch["feats"]),
+        jnp.asarray(batch["boxes"]),
+    )["params"]
+
+
+class TestBertAdamParity:
+    """Numerical parity against the reference torch BertAdam."""
+
+    def test_matches_reference_updates(self, reference_dir):
+        torch = pytest.importorskip("torch")
+        sys.path.insert(0, str(reference_dir / "src"))
+        try:
+            from lxrt.optimization import BertAdam as TorchBertAdam
+        finally:
+            sys.path.pop(0)
+
+        rng = np.random.default_rng(0)
+        w0 = rng.standard_normal((5, 3)).astype(np.float32)
+        grads_seq = [
+            rng.standard_normal((5, 3)).astype(np.float32) for _ in range(6)
+        ]
+
+        # Torch side.
+        p = torch.nn.Parameter(torch.tensor(w0.copy()))
+        opt = TorchBertAdam([p], lr=1e-3, warmup=0.5, t_total=6)
+        torch_traj = []
+        for g in grads_seq:
+            opt.zero_grad()
+            p.grad = torch.tensor(g)
+            opt.step()
+            torch_traj.append(p.detach().numpy().copy())
+
+        # JAX side.
+        tx = bert_adam(1e-3, warmup=0.5, t_total=6)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for g, expect in zip(grads_seq, torch_traj):
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            np.testing.assert_allclose(
+                np.asarray(params["w"]), expect, rtol=1e-5, atol=1e-6
+            )
+
+    def test_first_step_is_zero_lr_under_warmup(self):
+        tx = bert_adam(1e-3, warmup=0.1, t_total=10)
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+        np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-12)
+
+
+class TestLosses:
+    def test_bce_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        logits = rng.standard_normal((4, 7)).astype(np.float32)
+        target = (rng.random((4, 7)) < 0.3).astype(np.float32)
+        expect = (
+            torch.nn.BCEWithLogitsLoss()(
+                torch.tensor(logits), torch.tensor(target)
+            ).item()
+            * 7
+        )
+        got = float(bce_answer_loss(jnp.asarray(logits), jnp.asarray(target)))
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_mce_matches_torch_semantics(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(2)
+        logits = rng.standard_normal((4, 7)).astype(np.float32)
+        target = np.eye(7, dtype=np.float32)[rng.integers(0, 7, 4)]
+        expect = (
+            torch.nn.CrossEntropyLoss()(
+                torch.tensor(logits), torch.tensor(target.argmax(1))
+            ).item()
+            * 7
+        )
+        got = float(mce_answer_loss(jnp.asarray(logits), jnp.asarray(target)))
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_energy_regularizer_masked_rows(self):
+        logits = jnp.asarray([[5.0, -5.0], [0.5, 0.5]])
+        id_mask = jnp.asarray([1.0, 0.0])
+        val = float(energy_regularizer(logits, id_mask, m_in=25.0, m_out=0.0))
+        # ID row: relu(-E - 25)^2 with E>0 -> 0.  OOD row: relu(E)^2 > 0.
+        e_ood = float(jnp.sum(jax.nn.softplus(logits[1])))
+        assert val == pytest.approx(0.1 * e_ood**2, rel=1e-5)
+
+    def test_branched_loss_runs(self):
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+        conf = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+        target = jnp.asarray((rng.random((4, 5)) < 0.3).astype(np.float32))
+        id_mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+        val = float(branched_loss(logits, conf, target, id_mask))
+        assert np.isfinite(val)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        model, forward = build_model(TINY_CFG)
+        batch = example_batch(TINY_CFG, batch_size=8, seed=0, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = _init(model, batch)
+        tx = bert_adam(5e-3, warmup=0.1, t_total=30)
+        state = create_train_state(params, tx)
+        step = make_train_step(forward, donate=False)
+
+        losses = []
+        for i in range(12):
+            state, aux = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(aux["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_rp_doubles_batch_with_zero_targets(self):
+        from rgqa_tpu.train.step import rp_augment
+
+        batch = example_batch(TINY_CFG, batch_size=4, seed=1, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = rp_augment(batch, jax.random.PRNGKey(0))
+        assert out["input_ids"].shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(out["target"][4:]), 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(out["feats"][4:]), np.asarray(batch["feats"])
+        )
+        # Appended questions come from a *different* row (rolled).
+        assert not np.array_equal(
+            np.asarray(out["input_ids"][4:]), np.asarray(batch["input_ids"])
+        )
+
+    def test_mixup_appends_mixed_rois(self):
+        from rgqa_tpu.train.step import mixup_augment
+
+        batch = example_batch(TINY_CFG, batch_size=4, seed=2, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = mixup_augment(batch, jax.random.PRNGKey(0), 1.0, 1.0, "vis")
+        assert out["feats"].shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(out["target"][4:]), 0.0)
+
+    def test_spmd_step_on_8_device_mesh(self):
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(jax.devices(), model=2)
+        model, forward = build_model(TINY_CFG)
+        batch = example_batch(TINY_CFG, batch_size=8, seed=0, with_target=True)
+        params = shard_params(mesh, _init(model, {k: jnp.asarray(v) for k, v in batch.items()}))
+        tx = bert_adam(1e-3, warmup=0.1, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_train_step(forward, sample_pair=True, donate=False)
+        sharded = shard_batch(mesh, batch)
+        state, aux = step(state, sharded, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        assert int(state.step) == 1
+
+    def test_eval_step_outputs(self):
+        model, forward = build_model(TINY_CFG)
+        batch = example_batch(TINY_CFG, batch_size=4, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = _init(model, batch)
+        out = make_eval_step(forward)(params, batch)
+        assert out["label"].shape == (4,)
+        assert out["score"].shape == (4,)
+        assert np.all(np.asarray(out["score"]) <= 1.0)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        sys.path.insert(0, "/root/repo")
+        try:
+            from __graft_entry__ import dryrun_multichip
+        finally:
+            sys.path.pop(0)
+        dryrun_multichip(8)
