@@ -30,7 +30,7 @@ def main():
     cfg = ModelConfig(backbone="lxmert")
     model, forward = build_model(cfg, use_bf16=True)
 
-    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "1024"))
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "256"))
     host = example_batch(cfg, batch_size=batch_size, seed=0)
     host["feats"] = host["feats"].astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
@@ -62,7 +62,7 @@ def main():
     label, score = infer(params, batch, carry)
     np.asarray(label)
 
-    iters = int(os.environ.get("RGQA_BENCH_ITERS", "30"))
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
     start = time.perf_counter()
     carry = label
     for _ in range(iters):

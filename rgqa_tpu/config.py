@@ -216,6 +216,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xlayers", type=int, default=5)
     p.add_argument("--rlayers", type=int, default=5)
     p.add_argument("--project_size", type=int, default=128)
+    # Extensions beyond the reference CLI: shrink the encoder for smoke
+    # runs (the reference hard-codes bert-base).
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=None)
+    p.add_argument("--branched", action="store_true")
     # OOD / rejection
     p.add_argument("--scorer", default="msp")
     p.add_argument("--tau", type=float, default=0.5)
@@ -264,6 +270,9 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
         l_layers=ns.llayers,
         x_layers=ns.xlayers,
         r_layers=ns.rlayers,
+        hidden_size=ns.hidden_size,
+        num_heads=ns.num_heads,
+        intermediate_size=ns.intermediate_size or 4 * ns.hidden_size,
         hidden_dropout=ns.dropout,
         attention_dropout=ns.dropout,
     )
@@ -272,6 +281,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             backbone=ns.backbone,
             encoder=encoder,
             project_size=ns.project_size,
+            branched=ns.branched,
         ),
         train=TrainConfig(
             batch_size=ns.batch_size,

@@ -71,16 +71,23 @@ def _answers() -> list[str]:
     return sorted(set(_OBJECTS + _ATTRIBUTES + ["yes", "no", "1", "2", "3"]))
 
 
-def _make_questions(rng, n, img_ids, answers, *, uq_fraction=0.0, prefix="q"):
+def _make_questions(
+    rng, n, img_ids, answers, *, uq_fraction=0.0, prefix="q", img2answer=None
+):
     rows = []
     for i in range(n):
-        img_id = img_ids[rng.integers(len(img_ids))]
+        img_idx = rng.integers(len(img_ids))
+        img_id = img_ids[img_idx]
         obj = _OBJECTS[rng.integers(len(_OBJECTS))]
         attr = _ATTRIBUTES[rng.integers(len(_ATTRIBUTES))]
         tmpl = _TEMPLATES[rng.integers(len(_TEMPLATES))]
         sent = tmpl.format(obj=obj, attr=attr)
         if rng.random() < uq_fraction:
             label = {"UQ": 1.0}
+        elif img2answer is not None:
+            # Learnable: the answer is determined by the image's dominant
+            # feature dimension (boosted in the packed features below).
+            label = {img2answer[img_idx]: 1.0}
         else:
             label = {answers[rng.integers(len(answers))]: 1.0}
         rows.append(
@@ -105,14 +112,19 @@ def make_synthetic_gqa(
     img_ids = [f"img{i:05d}" for i in range(spec.n_images)]
     answers = _answers()
     ans2label = {a: i for i, a in enumerate(answers)}
+    # Each image gets a dominant answer, realized in its features below.
+    dominant = rng.integers(0, len(answers), spec.n_images)
+    img2answer = [answers[d] for d in dominant]
 
     # Question splits.
     splits = {
         "train": _make_questions(
-            rng, spec.n_train, img_ids, answers, prefix="tr"
+            rng, spec.n_train, img_ids, answers, prefix="tr",
+            img2answer=img2answer,
         ),
         "valid": _make_questions(
-            rng, spec.n_valid, img_ids, answers, prefix="va"
+            rng, spec.n_valid, img_ids, answers, prefix="va",
+            img2answer=img2answer,
         ),
         # RGQA-style testdev: AQ + UQ mixture, like GQAUQ_testdev_ClipEasy.
         "testdev": _make_questions(
@@ -122,6 +134,7 @@ def make_synthetic_gqa(
             answers,
             uq_fraction=spec.uq_fraction,
             prefix="td",
+            img2answer=img2answer,
         ),
     }
     # UQ training split (train_neg for RP-style strategies): same questions,
@@ -153,7 +166,6 @@ def make_synthetic_gqa(
     os.makedirs(feat_dir, exist_ok=True)
     n, k, d = spec.n_images, spec.num_boxes, spec.feat_dim
     feats = rng.standard_normal((n, k, d), dtype=np.float32) * 0.1
-    dominant = rng.integers(0, len(answers), n)
     feats[np.arange(n), :, dominant] += 2.0
     sizes = np.full((n, 2), 512, np.int32)
     boxes = np.zeros((n, k, 4), np.float32)

@@ -1,0 +1,488 @@
+"""GQA runner: the task driver tying data, model, training, and scoring.
+
+TPU-native rebuild of the reference task drivers (``src/tasks/gqa_conf.py``
+and its ~18 per-strategy siblings): one runner class whose strategy knobs
+(RP pairing, mixup, energy regularization, branched head, scorer choice)
+are *configuration*, not file forks.  Exposes the same workflow surface:
+``train() / evaluate() / predict() / ood_evaluate() / predict_with_thresh()
+/ save() / load()`` (``gqa_conf.py:140-381``).
+
+Differences by design (SURVEY.md §7):
+
+- the whole hot path is jitted over a device mesh (batch sharded on
+  ``data``); augmentations run on device inside the step;
+- questions are tokenized once at dataset encode, not per batch;
+- checkpoints are orbax (with optimizer state); PyTorch reference
+  checkpoints import through ``rgqa_tpu.checkpoint``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgqa_tpu.checkpoint import (
+    import_lxmert_gqa,
+    import_uniter_gqa,
+    load_checkpoint,
+    save_checkpoint,
+)
+from rgqa_tpu.config import ModelConfig, RunConfig
+from rgqa_tpu.data import (
+    EncodedGQA,
+    GQADataset,
+    PackedFeatures,
+    WordPieceTokenizer,
+    batch_iterator,
+    device_prefetch,
+    make_synthetic_gqa,
+)
+from rgqa_tpu.data.tokenizer import load_vocab
+from rgqa_tpu.metrics import ClosedSetEvaluator, RGQAEvaluator, dump_predictions
+from rgqa_tpu.models.zoo import build_model, example_batch
+from rgqa_tpu.parallel import make_mesh, shard_params
+from rgqa_tpu.scorers import calibrate_tau, fit_estimator, make_scorer
+from rgqa_tpu.train import create_train_state, make_eval_step, make_train_step, make_optimizer
+
+__all__ = ["GQARunner"]
+
+
+class GQARunner:
+    def __init__(self, cfg: RunConfig, *, init_train: bool = True):
+        self.cfg = cfg
+        data = cfg.data
+        root = data.data_root
+
+        if data.synthetic and not os.path.exists(
+            os.path.join(root, "trainval_ans2label.json")
+        ):
+            make_synthetic_gqa(root)
+
+        self.features = PackedFeatures(os.path.join(root, "features"))
+        self.tokenizer = WordPieceTokenizer(
+            load_vocab(os.path.join(root, "vocab.txt"))
+        )
+
+        backbone = cfg.model.backbone
+        self.train_set: Optional[EncodedGQA] = None
+        self.valid_set: Optional[EncodedGQA] = None
+        self.butd_word2idx = None
+        if backbone == "butd":
+            self.butd_word2idx = self._butd_dictionary(root)
+
+        if init_train:
+            ds = GQADataset(root, data.train_splits, add_uq=True)
+            self.dataset = ds
+            self.train_set = self._encode(ds)
+            if data.valid_splits:
+                vds = GQADataset(root, data.valid_splits, add_uq=True)
+                self.valid_set = self._encode(vds)
+        else:
+            # Evaluation-only: vocab from any split named by test_splits.
+            ds = GQADataset(
+                root, data.test_splits or data.valid_splits, add_uq=True
+            )
+            self.dataset = ds
+
+        # Model outputs num_answers - 1 logits; 'UQ' is the appended class
+        # used only as the target indicator (gqa_conf.py:79-91).
+        import dataclasses
+
+        num_real = self.dataset.num_answers - 1
+        mcfg = dataclasses.replace(
+            self.cfg.model,
+            num_answers=num_real,
+            butd_vocab_size=(
+                len(self.butd_word2idx)
+                if self.butd_word2idx is not None
+                else self.cfg.model.butd_vocab_size
+            ),
+        )
+        self.model_cfg = mcfg
+        self.model, self.forward = build_model(
+            mcfg, use_bf16=cfg.train.use_bf16
+        )
+        self.label2ans = self.dataset.label2ans
+
+        self.mesh = make_mesh(model=cfg.mesh.model_axis)
+        self.params = self._init_params()
+        self._load_initial_weights()
+
+        self.eval_step = make_eval_step(self.forward)
+        self.output = cfg.output
+        os.makedirs(self.output, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    def _butd_dictionary(self, root: str) -> dict[str, int]:
+        """Word dict over all question splits (``butd/preprocess.py:54-123``)."""
+        from rgqa_tpu.models.butd import butd_split
+
+        words: dict[str, int] = {}
+        for name in ("train", "valid", "testdev"):
+            path = os.path.join(root, f"{name}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for row in json.load(f):
+                    for tok in butd_split(row.get("sent", "")):
+                        words.setdefault(tok, len(words))
+        return words
+
+    def _encode(self, ds: GQADataset) -> EncodedGQA:
+        return EncodedGQA(
+            ds,
+            self.features,
+            tokenizer=self.tokenizer,
+            max_text_len=self.cfg.model.max_text_len,
+            backbone=self.cfg.model.backbone,
+            butd_word2idx=self.butd_word2idx,
+        )
+
+    def _init_params(self):
+        batch = example_batch(self.model_cfg, batch_size=2, seed=0)
+        args = self._forward_args(batch)
+        params = self.model.init(jax.random.PRNGKey(self.cfg.train.seed), *args)[
+            "params"
+        ]
+        return shard_params(self.mesh, params)
+
+    def _forward_args(self, batch):
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.cfg.model.backbone == "butd":
+            return (b["token_ids"], b["feats"], b["boxes"])
+        if self.cfg.model.backbone == "vilt":
+            return (b["input_ids"], b["input_mask"], b["pixels"])
+        if self.cfg.model.backbone == "caps":
+            return (b["input_ids"], b["input_mask"], b["segment_ids"])
+        return (
+            b["input_ids"], b["input_mask"], b["segment_ids"],
+            b["feats"], b["boxes"],
+        )
+
+    def _load_initial_weights(self):
+        cfg = self.cfg
+        if cfg.load:
+            self.load(cfg.load)
+        elif cfg.load_lxmert and cfg.model.backbone == "lxmert":
+            enc = cfg.model.encoder
+            self.params, missing, _ = import_lxmert_gqa(
+                np_params(self.params), cfg.load_lxmert,
+                l_layers=enc.l_layers, x_layers=enc.x_layers,
+                r_layers=enc.r_layers, from_pretrain=True,
+            )
+            print(f"Loaded LXMERT encoder ({len(missing)} keys left at init)")
+        elif cfg.load_lxmert and cfg.model.backbone == "uniter":
+            self.params, missing, _ = import_uniter_gqa(
+                np_params(self.params), cfg.load_lxmert
+            )
+            print(f"Loaded UNITER encoder ({len(missing)} keys left at init)")
+
+    # ------------------------------------------------------------------
+    # Training (gqa_conf.py:140-243)
+    # ------------------------------------------------------------------
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        tcfg = cfg.train
+        assert self.train_set is not None
+        n_batches = len(self.train_set) // tcfg.batch_size
+        t_total = max(n_batches * tcfg.epochs, 1)
+        tx = make_optimizer(tcfg.optim, t_total)
+        state = create_train_state(self.params, tx)
+
+        step = make_train_step(
+            self.forward,
+            loss=tcfg.loss,
+            sample_pair=tcfg.sample_pair,
+            mixup_mode=tcfg.mixup_mode,
+            mixup_alpha=tcfg.mixup_alpha,
+            mixup_beta=tcfg.mixup_beta,
+            energy=cfg.ood.scorer == "energy" and tcfg.m_in != 0,
+            m_in=tcfg.m_in,
+            m_out=tcfg.m_out,
+            branched=cfg.model.branched,
+            grad_clip=tcfg.optim.grad_clip,
+        )
+
+        if tcfg.chart:
+            os.makedirs(os.path.join(self.output, "chart"), exist_ok=True)
+
+        rng = np.random.default_rng(tcfg.seed)
+        key = jax.random.PRNGKey(tcfg.seed)
+        best_valid = 0.0
+        history = {"loss": [], "valid": []}
+        for epoch in range(tcfg.epochs):
+            quesid2score = {}
+            last_loss = float("nan")
+            epoch_start = time.time()
+            it = device_prefetch(
+                batch_iterator(
+                    self.train_set, tcfg.batch_size,
+                    shuffle=True, rng=rng, drop_last=True,
+                ),
+                self.mesh,
+            )
+            for qids, batch, _ in it:
+                key, sub = jax.random.split(key)
+                state, aux = step(state, batch, sub)
+                if tcfg.chart:
+                    scores = np.asarray(aux["score"])
+                    labels = np.asarray(aux["label"])
+                    for qid, s, l in zip(qids, scores, labels):
+                        datum = self.dataset.id2datum[qid]
+                        quesid2score[qid] = (
+                            float(s), datum.get("label"), self.label2ans[int(l)]
+                        )
+                last_loss = aux["loss"]
+            last_loss = float(last_loss)
+            history["loss"].append(last_loss)
+
+            log_str = f"\nEpoch {epoch}: Train Loss {last_loss:.2f} ({time.time() - epoch_start:.1f}s)\n"
+            self.params = state.params
+            if self.valid_set is not None:
+                valid = self.evaluate(self.valid_set)
+                history["valid"].append(valid)
+                if valid > best_valid:
+                    best_valid = valid
+                    self.save("BEST", state)
+                log_str += (
+                    f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
+                    f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
+                )
+            if tcfg.save_all:
+                self.save(f"EPOCH_{epoch}", state)
+            print(log_str, end="", flush=True)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(log_str)
+            if tcfg.chart:
+                with open(
+                    os.path.join(self.output, "chart", f"epoch_{epoch}.pkl"), "wb"
+                ) as f:
+                    pickle.dump(quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+        self.save("LAST", state)
+        return history
+
+    # ------------------------------------------------------------------
+    # Inference / scoring
+    # ------------------------------------------------------------------
+
+    def _iter_eval(self, encoded: EncodedGQA, *, with_target: bool = False):
+        bs = self.cfg.train.batch_size
+        return device_prefetch(
+            batch_iterator(
+                encoded, bs, shuffle=False, with_target=with_target
+            ),
+            self.mesh,
+        )
+
+    def predict(self, encoded: EncodedGQA, dump: Optional[str] = None) -> dict:
+        """Closed-set predictions {qid: answer} (``gqa_conf.py:245-260``)."""
+        quesid2ans = {}
+        for qids, batch, real in self._iter_eval(encoded):
+            out = self.eval_step(self.params, batch)
+            labels = np.asarray(out["label"])[:real]
+            for qid, l in zip(qids, labels):
+                quesid2ans[qid] = self.label2ans[int(l)]
+        if dump:
+            ClosedSetEvaluator(encoded.dataset.qid2label).dump_result(
+                quesid2ans, dump
+            )
+        return quesid2ans
+
+    def evaluate(self, encoded: EncodedGQA) -> float:
+        """Soft accuracy on a labeled split."""
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        return evaluator.evaluate(self.predict(encoded))
+
+    def make_scorer(self, name: Optional[str] = None):
+        ocfg = self.cfg.ood
+        name = name or ocfg.scorer
+        opts = dict(
+            temperature=ocfg.temperature,
+            noise=ocfg.noise,
+            topk=2,
+            seed_list=ocfg.seed_list or (0, 1, 2, 3, 4),
+            mix=ocfg.mix_branched_score,
+        )
+        if name == "maha":
+            opts["estimator"] = self.fit_maha_estimator()
+        if name == "msp" or name is None:
+            name = "msp"
+        return make_scorer(name, self.forward, **opts)
+
+    def score_split(
+        self, encoded: EncodedGQA, scorer=None, params=None
+    ) -> dict[str, tuple[str, float]]:
+        """{qid: (answer, confidence)} over a split with any scorer."""
+        scorer = scorer or self.make_scorer()
+        params = params if params is not None else self.params
+        quesid2ans = {}
+        for qids, batch, real in self._iter_eval(encoded):
+            out = scorer(params, batch)
+            labels = np.asarray(out["label"])[:real]
+            scores = np.asarray(out["score"])[:real]
+            for qid, l, s in zip(qids, labels, scores):
+                quesid2ans[qid] = (self.label2ans[int(l)], float(s))
+        return quesid2ans
+
+    def ood_evaluate(
+        self, encoded: EncodedGQA, dump: Optional[str] = None, scorer=None
+    ) -> dict:
+        """Rejection evaluation with the configured scorer
+        (``gqa_conf.py:297-333``)."""
+        quesid2ans = self.score_split(encoded, scorer=scorer)
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def ensemble_ood_evaluate(
+        self, encoded: EncodedGQA, ckpt_paths: list[str],
+        dump: Optional[str] = None,
+    ) -> dict:
+        """Mean/product ensemble over checkpoints (``gqa_ensemble.py``)."""
+        from rgqa_tpu.scorers import ensemble_merge, make_msp_scorer
+
+        msp = make_msp_scorer(self.forward)
+        all_qids: list[str] = []
+        prob_sets = []
+        for path in ckpt_paths:
+            self.load(path)
+            probs_per_batch = []
+            qids_seen = []
+            for qids, batch, real in self._iter_eval(encoded):
+                out = msp(self.params, batch)
+                probs_per_batch.append(np.asarray(out["probs"])[:real])
+                qids_seen.extend(qids[:real])
+            prob_sets.append(np.concatenate(probs_per_batch, 0))
+            all_qids = qids_seen
+        merged = ensemble_merge(
+            [jnp.asarray(p) for p in prob_sets], self.cfg.ood.ensemble_method
+        )
+        labels = np.asarray(merged["label"])
+        scores = np.asarray(merged["score"])
+        quesid2ans = {
+            qid: (self.label2ans[int(l)], float(s))
+            for qid, l, s in zip(all_qids, labels, scores)
+        }
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def fit_maha_estimator(self):
+        """Per-class means + shared precision over the train set
+        (``gqa_maha.py:120-189``), cached like the reference."""
+        cache = os.path.join(self.output, "sample_estimates.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                data = pickle.load(f)
+            from rgqa_tpu.scorers import MahaEstimator
+
+            return MahaEstimator(
+                jnp.asarray(data["mean"]), jnp.asarray(data["precision"])
+            )
+        assert self.train_set is not None, "maha needs the train split"
+
+        def batches():
+            for _, batch, real in self._iter_eval(
+                self.train_set, with_target=True
+            ):
+                out = self.eval_step(self.params, batch)
+                yield (
+                    np.asarray(out["pooled"])[:real],
+                    np.asarray(batch["target"])[:real],
+                )
+
+        est = fit_estimator(
+            batches(),
+            num_classes=self.model_cfg.num_answers,
+            feat_dim=self.model_cfg.encoder.hidden_size
+            if self.model_cfg.backbone != "butd"
+            else self.model_cfg.butd_hidden_dim,
+        )
+        with open(cache, "wb") as f:
+            pickle.dump(
+                {
+                    "mean": np.asarray(est.class_mean),
+                    "precision": np.asarray(est.precision),
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        return est
+
+    def predict_with_thresh(
+        self, encoded: EncodedGQA, dump: Optional[str] = None
+    ) -> dict:
+        """Calibrate tau at --target_acc on a labeled split, then threshold
+        (``gqa_conf.py:262-295``)."""
+        assert self.cfg.ood.target_acc is not None
+        quesid2ans = self.score_split(encoded)
+        targets, preds, scores = [], [], []
+        for qid, (ans, s) in quesid2ans.items():
+            label = encoded.dataset.id2datum[qid].get("label") or {}
+            targets.append(next(iter(label), "UQ"))
+            preds.append(ans)
+            scores.append(s)
+        tau = calibrate_tau(targets, preds, scores, self.cfg.ood.target_acc)
+        out = {
+            qid: (("UQ", s) if s < tau else (ans, s))
+            for qid, (ans, s) in quesid2ans.items()
+        }
+        if dump:
+            with open(dump, "w") as f:
+                json.dump({q: list(v) for q, v in out.items()}, f)
+        return {"tau": tau, "quesid2ans": out}
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    def save(self, name: str, state=None) -> str:
+        return save_checkpoint(self.output, name, state if state is not None else self.params)
+
+    def load(self, path: str) -> None:
+        """Load an orbax checkpoint dir or a reference ``.pth``."""
+        if path.endswith(".pth") or os.path.isfile(path):
+            enc = self.model_cfg.encoder
+            if self.model_cfg.backbone == "lxmert":
+                self.params, missing, unused = import_lxmert_gqa(
+                    np_params(self.params), path,
+                    l_layers=enc.l_layers, x_layers=enc.x_layers,
+                    r_layers=enc.r_layers, branched=self.model_cfg.branched,
+                )
+            elif self.model_cfg.backbone == "uniter":
+                self.params, missing, unused = import_uniter_gqa(
+                    np_params(self.params), path
+                )
+            else:
+                raise ValueError(
+                    f"no torch importer for {self.model_cfg.backbone}"
+                )
+            if missing:
+                print(f"Weights not found in ckpt: {missing[:5]}...")
+            if unused:
+                print(f"Ckpt weights unused: {unused[:5]}...")
+        else:
+            directory, name = os.path.split(path.rstrip("/"))
+            restored = load_checkpoint(directory or ".", name)
+            self.params = restored["params"]
+        self.params = shard_params(self.mesh, self.params)
+
+
+def np_params(params):
+    return jax.tree_util.tree_map(np.asarray, params)

@@ -1,0 +1,131 @@
+"""End-to-end runner tests: synthetic data -> train -> reject-score -> metrics.
+
+The reference's quality bar (SURVEY.md §4) is checkpoint/golden parity plus
+smoke runs; here the full loop runs in-process on the CPU mesh, and the
+dumped prediction JSON round-trips through the metric stack (and the
+reference CLI's contract).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rgqa_tpu.config import (
+    DataConfig,
+    EncoderConfig,
+    ModelConfig,
+    OODConfig,
+    OptimConfig,
+    RunConfig,
+    TrainConfig,
+)
+from rgqa_tpu.data import GQADataset, SyntheticSpec, make_synthetic_gqa
+from rgqa_tpu.runner import GQARunner
+
+TINY_ENC = EncoderConfig(
+    hidden_size=32,
+    num_heads=4,
+    intermediate_size=64,
+    l_layers=1,
+    x_layers=1,
+    r_layers=1,
+    num_objects=36,
+    visual_feat_dim=2048,
+    hidden_dropout=0.1,
+    attention_dropout=0.1,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gqa_e2e"))
+    make_synthetic_gqa(
+        root, SyntheticSpec(n_images=24, n_train=96, n_valid=24, n_testdev=48)
+    )
+    return root
+
+
+def _cfg(root, out, **train_kw):
+    train_kw = {
+        "batch_size": 16,
+        "epochs": 5,
+        "optim": OptimConfig(lr=3e-3),
+        "use_bf16": False,
+        **train_kw,
+    }
+    return RunConfig(
+        model=ModelConfig(backbone="lxmert", encoder=TINY_ENC, max_text_len=12),
+        train=TrainConfig(**train_kw),
+        ood=OODConfig(scorer="msp"),
+        data=DataConfig(data_root=root, test_splits="testdev", synthetic=True),
+        output=out,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(synth_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("snap"))
+    runner = GQARunner(_cfg(synth_root, out))
+    history = runner.train()
+    return runner, history, out
+
+
+class TestTrainLoop:
+    def test_loss_decreases_and_checkpoints_exist(self, trained):
+        runner, history, out = trained
+        assert history["loss"][-1] < history["loss"][0] * 1.5
+        assert os.path.isdir(os.path.join(out, "LAST"))
+        assert os.path.exists(os.path.join(out, "log.log"))
+
+    def test_valid_accuracy_above_chance(self, trained):
+        runner, history, _ = trained
+        # 38 answers; the synthetic signal should lift it well above 1/38.
+        assert history["valid"][-1] > 0.10
+
+    def test_ood_evaluate_and_dump_roundtrip(self, trained, synth_root):
+        runner, _, out = trained
+        ds = GQADataset(synth_root, "testdev", add_uq=True)
+        encoded = runner._encode(ds)
+        dump = os.path.join(out, "testdev_predict.json")
+        results = runner.ood_evaluate(encoded, dump=dump)
+        for key in ("auaf", "fpr@0.95acc", "full_acc", "auroc"):
+            assert key in results, key
+        assert 0.0 <= results["auaf"] <= 1.0
+
+        # The dumped JSON must satisfy the compute_accfpr contract.
+        with open(dump) as f:
+            records = json.load(f)
+        assert len(records) == len(encoded)
+        assert set(records[0]) == {"questionId", "prediction", "confidence"}
+        from rgqa_tpu.metrics import RGQAEvaluator
+
+        again = RGQAEvaluator(ds.qid2label).evaluate(records)
+        assert again["full_acc"] == pytest.approx(results["full_acc"], abs=1e-6)
+
+    def test_save_load_roundtrip(self, trained, synth_root):
+        runner, _, out = trained
+        ds = GQADataset(synth_root, "valid", add_uq=True)
+        encoded = runner._encode(ds)
+        before = runner.evaluate(encoded)
+        runner.load(os.path.join(out, "LAST"))
+        after = runner.evaluate(encoded)
+        assert after == pytest.approx(before, abs=1e-6)
+
+    def test_other_scorers_run(self, trained, synth_root):
+        runner, _, _ = trained
+        ds = GQADataset(synth_root, "testdev", add_uq=True)
+        encoded = runner._encode(ds)
+        for scorer in ("energy", "odin", "dropout", "maha"):
+            res = runner.ood_evaluate(encoded, scorer=runner.make_scorer(scorer))
+            assert np.isfinite(res["auaf"]), scorer
+
+
+class TestRPTraining:
+    def test_rp_strategy_trains(self, synth_root, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("snap_rp"))
+        cfg = _cfg(synth_root, out, sample_pair=True, epochs=1)
+        runner = GQARunner(cfg)
+        history = runner.train()
+        assert np.isfinite(history["loss"][-1])
