@@ -90,6 +90,17 @@ class TrainConfig:
     batch_size: int = 32
     epochs: int = 4
     seed: int = 9595
+    # Training strategy: conf (vanilla/RP/mixup via flags below), separate
+    # (binary UQ detector), adv (VILLA), resampling | poem | woods
+    # (dual pos/neg loaders), caption (Q-C matcher).
+    strategy: str = "conf"
+    lr_w: float = 0.1  # negative-weight SGD lr (gqa_resampling.py:140)
+    adv_steps: int = 3
+    adv_lr_txt: float = 1e-3
+    adv_lr_img: float = 1e-3
+    adv_max_norm: float = 0.0
+    adv_kl_weight: float = 1.5
+    adv_norm_type: str = "l2"
     optim: OptimConfig = field(default_factory=OptimConfig)
     dropout: float = 0.1
     # Loss: 'bce' = per-answer binary CE x num_answers (reference
@@ -210,6 +221,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chart", action="store_true")
     p.add_argument("--save_all", action="store_true")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--strategy", default="conf")
+    p.add_argument("--lr_w", type=float, default=0.1)
+    p.add_argument("--adv_steps", type=int, default=3)
+    p.add_argument("--adv_lr_txt", type=float, default=1e-3)
+    p.add_argument("--adv_lr_img", type=float, default=1e-3)
+    p.add_argument("--adv_max_norm", type=float, default=0.0)
+    p.add_argument("--adv_kl_weight", type=float, default=1.5)
+    p.add_argument("--norm_type", dest="adv_norm_type", default="l2")
     # Model shape
     p.add_argument("--backbone", default="lxmert")
     p.add_argument("--llayers", type=int, default=9)
@@ -287,6 +306,14 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             batch_size=ns.batch_size,
             epochs=ns.epochs,
             seed=ns.seed,
+            strategy=ns.strategy,
+            lr_w=ns.lr_w,
+            adv_steps=ns.adv_steps,
+            adv_lr_txt=ns.adv_lr_txt,
+            adv_lr_img=ns.adv_lr_img,
+            adv_max_norm=ns.adv_max_norm,
+            adv_kl_weight=ns.adv_kl_weight,
+            adv_norm_type=ns.adv_norm_type,
             optim=OptimConfig(name=ns.optim, lr=ns.lr),
             dropout=ns.dropout,
             loss="mce" if ns.mce_loss else "bce",

@@ -1,0 +1,165 @@
+"""Dataset-cartography distillation pipeline.
+
+Rebuild of ``src/tasks/gqa_distill.py`` (+ ``gqa_distill_online.py``'s
+selection rules): generate re-paired (image, question-from-other-image)
+candidates, score them with a teacher across several passes (epoch
+checkpoints or dropout seeds), compute cartography statistics
+(mean confidence + variability), then select:
+
+- pseudo-AQ: confidence > tau_aq_c and variability < tau_aq_v, labeled
+  with the teacher's majority answer weighted by mean confidence;
+- pseudo-UQ: confidence < tau_uq_c and variability < tau_uq_v, labeled UQ;
+- optionally balance AQ/UQ to within 1.25x (``filter_data_for_distill``).
+
+Output rows use the reference's ``question_id = img_id + '+' + orig_qid``
+convention and the standard split-JSON schema, so the student trains on
+them through the normal pipeline.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "sample_repaired",
+    "cartography_stats",
+    "select_distill",
+    "build_distill_split",
+]
+
+
+def sample_repaired(
+    data: Sequence[Mapping],
+    rng: np.random.Generator,
+    n: int,
+) -> list[dict]:
+    """Re-pair questions with other images (``gqa_distill.py:190-227``)."""
+    img_ids = sorted({d["img_id"] for d in data})
+    out = []
+    for i in range(n):
+        q = data[int(rng.integers(len(data)))]
+        img = img_ids[int(rng.integers(len(img_ids)))]
+        while img == q["img_id"] and len(img_ids) > 1:
+            img = img_ids[int(rng.integers(len(img_ids)))]
+        out.append(
+            {
+                "img_id": img,
+                "sent": q["sent"],
+                "original_question_id": q["question_id"],
+                "question_id": f"cand{i:07d}",
+            }
+        )
+    return out
+
+
+def cartography_stats(
+    passes: Sequence[Mapping[str, tuple[str, float]]],
+) -> dict[str, dict]:
+    """Per-question mean confidence, variability, majority answer
+    (``gqa_distill.py:252-259``)."""
+    out: dict[str, dict] = {}
+    qids = passes[0].keys()
+    for qid in qids:
+        confs = np.asarray([p[qid][1] for p in passes], np.float64)
+        answers = [p[qid][0] for p in passes]
+        mean = float(confs.mean())
+        out[qid] = {
+            "confidence": mean,
+            "variability": float(np.sqrt(((confs - mean) ** 2).mean())),
+            "answer": Counter(answers).most_common(1)[0][0],
+        }
+    return out
+
+
+def select_distill(
+    candidates: Sequence[Mapping],
+    stats: Mapping[str, dict],
+    *,
+    tau_aq_c: float = 0.5,
+    tau_aq_v: float = 0.15,
+    tau_uq_c: float = 0.1,
+    tau_uq_v: float = 0.05,
+    balance: bool = False,
+    n_original: int = 0,
+    rng: Optional[np.random.Generator] = None,
+) -> tuple[list[dict], list[dict]]:
+    """Threshold + balance selection (``filter_data_for_distill``)."""
+    rng = rng or np.random.default_rng(0)
+    aq, uq = [], []
+    for cand in candidates:
+        s = stats[cand["question_id"]]
+        row = {
+            "img_id": cand["img_id"],
+            "sent": cand["sent"],
+            "question_id": cand["img_id"] + "+" + cand["original_question_id"],
+        }
+        if s["confidence"] < tau_uq_c and s["variability"] < tau_uq_v:
+            row["label"] = {"UQ": 1}
+            uq.append(row)
+        elif s["confidence"] > tau_aq_c and s["variability"] < tau_aq_v:
+            row["label"] = {s["answer"]: float(s["confidence"])}
+            aq.append(row)
+    rng.shuffle(uq)
+    rng.shuffle(aq)
+    if balance:
+        n_uq, n_aq = len(uq), len(aq)
+        if n_aq + n_original > n_uq * 1.25:
+            aq = aq[: max(int(n_uq * 1.25 - n_original), 0)]
+        elif n_uq > (n_aq + n_original) * 1.25:
+            uq = uq[: int((n_aq + n_original) * 1.25)]
+    return aq, uq
+
+
+def build_distill_split(
+    runner,
+    *,
+    n_candidates: int,
+    passes: int = 3,
+    out_path: str,
+    seed: int = 0,
+    balance: bool = True,
+    **taus,
+) -> list[dict]:
+    """End-to-end: sample candidates, teacher-score with MC-dropout passes,
+    select, and write the student training split JSON.
+
+    ``runner`` is a trained :class:`rgqa_tpu.runner.GQARunner` (the
+    teacher).  Where the reference scores with per-epoch checkpoints, this
+    uses stochastic dropout passes — same variability statistic, no
+    checkpoint zoo required (checkpoint-based passes remain possible by
+    calling ``score_split`` per loaded checkpoint and using
+    ``cartography_stats`` directly).
+    """
+    import json
+
+    from rgqa_tpu.data.dataset import GQADataset
+    from rgqa_tpu.scorers import make_dropout_scorer
+
+    rng = np.random.default_rng(seed)
+    cands = sample_repaired(runner.dataset.data, rng, n_candidates)
+
+    tmp = GQADataset.__new__(GQADataset)
+    tmp.name = "distill_candidates"
+    tmp.data = cands
+    tmp.id2datum = {d["question_id"]: d for d in cands}
+    tmp.ans2label = runner.dataset.ans2label
+    tmp.label2ans = runner.dataset.label2ans
+    tmp.num_answers = runner.dataset.num_answers
+    encoded = runner._encode(tmp)
+
+    pass_results = []
+    for i in range(passes):
+        scorer = make_dropout_scorer(runner.forward, seed_list=(seed + i,))
+        pass_results.append(runner.score_split(encoded, scorer=scorer))
+    stats = cartography_stats(pass_results)
+    aq, uq = select_distill(
+        cands, stats, balance=balance, n_original=len(runner.dataset.data),
+        rng=rng, **taus,
+    )
+    rows = aq + uq
+    with open(out_path, "w") as f:
+        json.dump(rows, f)
+    return rows

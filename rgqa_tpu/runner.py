@@ -96,6 +96,8 @@ class GQARunner:
         import dataclasses
 
         num_real = self.dataset.num_answers - 1
+        if cfg.train.strategy in ("separate", "caption"):
+            num_real = 1  # binary detector head (gqa_separate.py)
         mcfg = dataclasses.replace(
             self.cfg.model,
             num_answers=num_real,
@@ -192,6 +194,8 @@ class GQARunner:
     # ------------------------------------------------------------------
 
     def train(self) -> dict:
+        if self.cfg.train.strategy in ("resampling", "poem", "woods"):
+            return self.train_minmax()
         cfg = self.cfg
         tcfg = cfg.train
         assert self.train_set is not None
@@ -200,19 +204,38 @@ class GQARunner:
         tx = make_optimizer(tcfg.optim, t_total)
         state = create_train_state(self.params, tx)
 
-        step = make_train_step(
-            self.forward,
-            loss=tcfg.loss,
-            sample_pair=tcfg.sample_pair,
-            mixup_mode=tcfg.mixup_mode,
-            mixup_alpha=tcfg.mixup_alpha,
-            mixup_beta=tcfg.mixup_beta,
-            energy=cfg.ood.scorer == "energy" and tcfg.m_in != 0,
-            m_in=tcfg.m_in,
-            m_out=tcfg.m_out,
-            branched=cfg.model.branched,
-            grad_clip=tcfg.optim.grad_clip,
-        )
+        if tcfg.strategy == "adv":
+            from rgqa_tpu.train.adversarial import AdvConfig, make_adv_train_step
+
+            hidden = self.model_cfg.encoder.hidden_size
+            step = make_adv_train_step(
+                self.forward,
+                lambda b: (*b["input_ids"].shape, hidden),
+                AdvConfig(
+                    steps=tcfg.adv_steps,
+                    lr_txt=tcfg.adv_lr_txt,
+                    lr_img=tcfg.adv_lr_img,
+                    max_norm=tcfg.adv_max_norm,
+                    kl_weight=tcfg.adv_kl_weight,
+                    norm_type=tcfg.adv_norm_type,
+                ),
+                grad_clip=tcfg.optim.grad_clip,
+            )
+        else:
+            step = make_train_step(
+                self.forward,
+                loss=tcfg.loss,
+                sample_pair=tcfg.sample_pair,
+                mixup_mode=tcfg.mixup_mode,
+                mixup_alpha=tcfg.mixup_alpha,
+                mixup_beta=tcfg.mixup_beta,
+                energy=cfg.ood.scorer == "energy" and tcfg.m_in != 0,
+                m_in=tcfg.m_in,
+                m_out=tcfg.m_out,
+                branched=cfg.model.branched,
+                binary=tcfg.strategy in ("separate", "caption"),
+                grad_clip=tcfg.optim.grad_clip,
+            )
 
         if tcfg.chart:
             os.makedirs(os.path.join(self.output, "chart"), exist_ok=True)
@@ -272,6 +295,103 @@ class GQARunner:
 
         self.save("LAST", state)
         return history
+
+    def train_minmax(self) -> dict:
+        """Dual-loader min-max training: resampling / POEM / WOODS
+        (``gqa_resampling.py`` / ``gqa_poem.py`` / ``gqa_woods.py``).
+
+        Positive batches stream from ``--train_pos``; negative (pseudo-UQ)
+        batches are sampled by the adversarially-learned weights.
+        """
+        from rgqa_tpu.parallel import shard_batch
+        from rgqa_tpu.train.dual_loader import (
+            NegativeWeights,
+            make_minmax_step,
+            sample_negative_indices,
+        )
+
+        cfg = self.cfg
+        tcfg = cfg.train
+        pos_ds = GQADataset(cfg.data.data_root, cfg.data.train_pos, add_uq=True)
+        neg_ds = GQADataset(cfg.data.data_root, cfg.data.train_neg, add_uq=True)
+        pos_set = self._encode(pos_ds)
+        neg_set = self._encode(neg_ds)
+        self.dataset = pos_ds
+
+        n_batches = len(pos_set) // tcfg.batch_size
+        t_total = max(n_batches * tcfg.epochs, 1)
+        tx = make_optimizer(tcfg.optim, t_total)
+        state = create_train_state(self.params, tx)
+        weighted = tcfg.strategy != "woods"
+        step = make_minmax_step(
+            self.forward, weighted=weighted, grad_clip=tcfg.optim.grad_clip
+        )
+        weights = NegativeWeights(len(neg_set), tcfg.lr_w)
+
+        rng = np.random.default_rng(tcfg.seed)
+        key = jax.random.PRNGKey(tcfg.seed)
+        best_valid = 0.0
+        history = {"loss": [], "valid": []}
+        for epoch in range(tcfg.epochs):
+            sampling_w = weights.sampling_weights()
+            last = float("nan")
+            for _, pos, _ in batch_iterator(
+                pos_set, tcfg.batch_size, shuffle=True, rng=rng, drop_last=True
+            ):
+                wids = sample_negative_indices(rng, sampling_w, tcfg.batch_size)
+                neg = neg_set.gather_batch(wids)
+                key, sub = jax.random.split(key)
+                state, w_grads, aux = step(
+                    state,
+                    weights.values,
+                    shard_batch(self.mesh, pos),
+                    shard_batch(self.mesh, neg),
+                    jnp.asarray(wids),
+                    sub,
+                )
+                if weighted:
+                    weights.apply(w_grads)
+                last = aux["loss"]
+            history["loss"].append(float(last))
+            self.params = state.params
+            log_str = f"\nEpoch {epoch}: Train Loss {float(last):.2f}\n"
+            if self.valid_set is not None:
+                valid = self.evaluate(self.valid_set)
+                history["valid"].append(valid)
+                if valid > best_valid:
+                    best_valid = valid
+                    self.save("BEST", state)
+                log_str += f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
+            print(log_str, end="", flush=True)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(log_str)
+        self.save("LAST", state)
+        return history
+
+    def gated_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        answerer,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """Separate-detector evaluation (``gqa_separate.py:200-234``):
+        this runner's model scores answerability (sigmoid of its single
+        logit); ``answerer`` (a GQARunner with a frozen GQA model) supplies
+        the answers."""
+        det = self.make_scorer("msp")  # max sigmoid of the 1-logit head
+        quesid2ans = {}
+        ans_encoded = answerer._encode(encoded.dataset)
+        answers = answerer.predict(ans_encoded)
+        for qids, batch, real in self._iter_eval(encoded):
+            out = det(self.params, batch)
+            scores = np.asarray(out["score"])[:real]
+            for qid, s in zip(qids, scores):
+                quesid2ans[qid] = (answers[qid], float(s))
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
 
     # ------------------------------------------------------------------
     # Inference / scoring

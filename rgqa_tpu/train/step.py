@@ -24,6 +24,7 @@ from rgqa_tpu.train.losses import (
     branched_loss,
     energy_regularizer,
     mce_answer_loss,
+    optax_sigmoid_bce,
     weighted_bce_answer_loss,
 )
 from rgqa_tpu.train.state import TrainState
@@ -121,6 +122,7 @@ def make_train_step(
     m_out: float = 0.0,
     branched: bool = False,
     weighted: bool = False,
+    binary: bool = False,
     grad_clip: float = 5.0,
     donate: bool = True,
 ):
@@ -142,7 +144,14 @@ def make_train_step(
         target = batch["target"]
         id_mask = batch.get("id_mask")
 
-        if branched:
+        if binary:
+            # Separate-detector / caption-matcher training: a single logit
+            # against the is-answerable indicator (gqa_separate.py:117-157,
+            # gqa_caption.py:112-121).
+            logit1 = logits[:, 0] if logits.ndim == 2 else logits
+            per_row = optax_sigmoid_bce(logit1, id_mask.astype(jnp.float32))
+            total = jnp.mean(per_row)
+        elif branched:
             total = branched_loss(
                 logits, out["conf"].astype(jnp.float32), target, id_mask,
                 mce=(loss == "mce"),

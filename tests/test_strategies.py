@@ -1,0 +1,245 @@
+"""Strategy trainers: VILLA adversarial, min-max dual loader, separate
+detector, distillation pipeline, NLVR2."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgqa_tpu.config import (
+    DataConfig,
+    EncoderConfig,
+    ModelConfig,
+    OptimConfig,
+    RunConfig,
+    TrainConfig,
+)
+from rgqa_tpu.data import SyntheticSpec, GQADataset, make_synthetic_gqa
+from rgqa_tpu.models.zoo import build_model, example_batch
+from rgqa_tpu.runner import GQARunner
+from rgqa_tpu.train import bert_adam, create_train_state
+
+TINY_ENC = EncoderConfig(
+    hidden_size=32, num_heads=4, intermediate_size=64, vocab_size=256,
+    l_layers=1, x_layers=1, r_layers=1, num_objects=6, visual_feat_dim=16,
+)
+TINY_CFG = ModelConfig(
+    backbone="lxmert", encoder=TINY_ENC, num_answers=7, max_text_len=6
+)
+
+FULLSHAPE_ENC = EncoderConfig(
+    hidden_size=32, num_heads=4, intermediate_size=64,
+    l_layers=1, x_layers=1, r_layers=1, num_objects=36, visual_feat_dim=2048,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gqa_strat"))
+    make_synthetic_gqa(
+        root, SyntheticSpec(n_images=16, n_train=64, n_valid=16, n_testdev=32)
+    )
+    return root
+
+
+def _init_tiny():
+    model, forward = build_model(TINY_CFG)
+    batch = example_batch(TINY_CFG, batch_size=4, seed=0, with_target=True)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+        batch["feats"], batch["boxes"],
+    )["params"]
+    return forward, params, batch
+
+
+class TestAdversarial:
+    def test_villa_step_updates_params(self):
+        from rgqa_tpu.train.adversarial import AdvConfig, make_adv_train_step
+
+        forward, params, batch = _init_tiny()
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_adv_train_step(
+            forward,
+            lambda b: (*b["input_ids"].shape, 32),
+            AdvConfig(steps=2),
+            donate=False,
+        )
+        new_state, aux = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        # Params changed.
+        before = jax.tree_util.tree_leaves(state.params)[0]
+        after = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_delta_projection(self):
+        from rgqa_tpu.train.adversarial import _normalize_step, _project
+
+        g = jnp.ones((2, 3, 4))
+        step = _normalize_step(g, 0.1, "l2")
+        # Per-row l2 of the step == lr.
+        norms = np.linalg.norm(np.asarray(step).reshape(2, -1), axis=1)
+        np.testing.assert_allclose(norms, 0.1, rtol=1e-6)
+        big = jnp.full((2, 3, 4), 10.0)
+        proj = _project(big, 1.0, "l2")
+        norms = np.linalg.norm(np.asarray(proj).reshape(2, -1), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+
+
+class TestMinMax:
+    def test_step_and_weight_ascent(self):
+        from rgqa_tpu.train.dual_loader import NegativeWeights, make_minmax_step
+
+        forward, params, batch = _init_tiny()
+        neg = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items()}
+        neg["target"] = jnp.zeros_like(neg["target"])
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_minmax_step(forward, donate=False)
+        weights = NegativeWeights(10, lr_w=0.5)
+        wids = jnp.asarray([0, 3, 5, 7])
+        state, w_grads, aux = step(
+            state, weights.values, batch, neg, wids, jax.random.PRNGKey(0)
+        )
+        assert np.isfinite(float(aux["loss_neg"]))
+        # Ascent: gradient of -loss_neg is nonzero only at sampled ids.
+        g = np.asarray(w_grads)
+        assert np.any(g[[0, 3, 5, 7]] != 0)
+        weights.apply(w_grads)
+        assert not np.allclose(np.asarray(weights.values), 0.0)
+
+    def test_woods_unweighted(self):
+        from rgqa_tpu.train.dual_loader import make_minmax_step
+
+        forward, params, batch = _init_tiny()
+        neg = dict(batch)
+        neg["target"] = jnp.zeros_like(neg["target"])
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_minmax_step(forward, weighted=False, donate=False)
+        state, w_grads, aux = step(
+            state, jnp.zeros(10), batch, neg, jnp.asarray([0, 1, 2, 3]),
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_array_equal(np.asarray(w_grads), 0.0)
+
+
+class TestRunnerStrategies:
+    def test_resampling_end_to_end(self, synth_root, tmp_path):
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, strategy="resampling",
+                optim=OptimConfig(lr=1e-3), use_bf16=False,
+            ),
+            data=DataConfig(
+                data_root=synth_root, train_pos="train", train_neg="train_uq",
+                synthetic=True,
+            ),
+            output=str(tmp_path / "snap"),
+        )
+        runner = GQARunner(cfg)
+        history = runner.train()
+        assert np.isfinite(history["loss"][-1])
+
+    def test_separate_detector(self, synth_root, tmp_path):
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, strategy="separate",
+                optim=OptimConfig(lr=1e-3), use_bf16=False,
+            ),
+            data=DataConfig(
+                data_root=synth_root, train_splits="train,train_uq",
+                synthetic=True,
+            ),
+            output=str(tmp_path / "snap"),
+        )
+        runner = GQARunner(cfg)
+        assert runner.model_cfg.num_answers == 1
+        history = runner.train()
+        assert np.isfinite(history["loss"][-1])
+
+        # Gated eval with a vanilla answerer.
+        ans_cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(batch_size=16, epochs=1, use_bf16=False),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "snap_ans"),
+        )
+        answerer = GQARunner(ans_cfg)
+        ds = GQADataset(synth_root, "testdev", add_uq=True)
+        res = runner.gated_ood_evaluate(runner._encode(ds), answerer)
+        assert "auaf" in res
+
+
+class TestDistill:
+    def test_pipeline(self, synth_root, tmp_path):
+        from rgqa_tpu.distill import (
+            build_distill_split,
+            cartography_stats,
+            sample_repaired,
+            select_distill,
+        )
+
+        rng = np.random.default_rng(0)
+        data = [
+            {"img_id": f"i{i%4}", "sent": f"q {i}", "question_id": f"q{i}"}
+            for i in range(10)
+        ]
+        cands = sample_repaired(data, rng, 20)
+        assert all(c["img_id"] != data[int(c["original_question_id"][1:])]["img_id"]
+                   or True for c in cands)
+        passes = [
+            {c["question_id"]: ("cat", 0.9) for c in cands},
+            {c["question_id"]: ("cat", 0.88) for c in cands},
+        ]
+        stats = cartography_stats(passes)
+        aq, uq = select_distill(cands, stats)
+        assert len(aq) == 20 and len(uq) == 0  # high-conf low-var
+
+        low = [{c["question_id"]: ("cat", 0.01) for c in cands}] * 2
+        aq2, uq2 = select_distill(cands, cartography_stats(low))
+        assert len(uq2) == 20 and not aq2
+        assert all(r["label"] == {"UQ": 1} for r in uq2)
+
+    def test_build_split_with_runner(self, synth_root, tmp_path):
+        from rgqa_tpu.distill import build_distill_split
+
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(batch_size=16, epochs=1, use_bf16=False),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "snap"),
+        )
+        runner = GQARunner(cfg)
+        out = str(tmp_path / "distill.json")
+        rows = build_distill_split(
+            runner, n_candidates=32, passes=2, out_path=out,
+            tau_aq_c=0.0, tau_aq_v=1.0, tau_uq_c=0.0, tau_uq_v=1.0,
+        )
+        import json, os
+
+        assert os.path.exists(out)
+        with open(out) as f:
+            assert json.load(f) == rows
+
+
+class TestNlvr2:
+    def test_forward(self):
+        from rgqa_tpu.models.nlvr2 import Nlvr2Model
+
+        model = Nlvr2Model(TINY_ENC)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(5, 250, (3, 6)), jnp.int32)
+        mask = jnp.ones((3, 6), jnp.int32)
+        seg = jnp.zeros((3, 6), jnp.int32)
+        feats = jnp.asarray(rng.standard_normal((3, 2, 6, 16)), jnp.float32)
+        boxes = jnp.asarray(rng.random((3, 2, 6, 4)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), ids, mask, seg, feats, boxes)["params"]
+        out = model.apply({"params": params}, ids, mask, seg, feats, boxes)
+        assert out["logits"].shape == (3, 2)
+        assert out["pooled"].shape == (3, 64)
