@@ -139,6 +139,7 @@ class EncodedGQA:
         backbone: str = "lxmert",
         butd_word2idx: Optional[Mapping[str, int]] = None,
         drop_missing_images: bool = True,
+        image2caps: Optional[Mapping[str, Sequence[str]]] = None,
     ):
         self.dataset = dataset
         self.features = features
@@ -159,6 +160,16 @@ class EncodedGQA:
 
             assert butd_word2idx is not None
             self.token_ids = tokenize_front_padded(sents, butd_word2idx)
+        elif image2caps is not None:
+            # Q-C caption matching (reference GQACaptionDataset,
+            # ``gqa_data.py:402-491``): pair-encode (caption, question).
+            assert tokenizer is not None
+            caps = [
+                " ".join(image2caps.get(d["img_id"], [""])[:1]) for d in data
+            ]
+            self.input_ids, self.input_mask, self.segment_ids = (
+                tokenizer.encode_batch(caps, max_text_len, text_pairs=sents)
+            )
         else:
             assert tokenizer is not None
             self.input_ids, self.input_mask, self.segment_ids = (

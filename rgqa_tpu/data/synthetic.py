@@ -189,6 +189,14 @@ def make_synthetic_gqa(
     with open(os.path.join(feat_dir, "img_ids.json"), "w") as f:
         json.dump(img_ids, f)
 
+    # Captions for the Q-C matcher (reference data/gqa/image2caps.json).
+    image2caps = {
+        img_id: [f"a photo of the {img2answer[i]}"]
+        for i, img_id in enumerate(img_ids)
+    }
+    with open(os.path.join(root, "image2caps.json"), "w") as f:
+        json.dump(image2caps, f)
+
     # WordPiece vocab covering the question lexicon.
     words = sorted(
         set(

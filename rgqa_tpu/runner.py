@@ -141,6 +141,12 @@ class GQARunner:
         return words
 
     def _encode(self, ds: GQADataset) -> EncodedGQA:
+        image2caps = None
+        if self.cfg.model.backbone == "caps":
+            with open(
+                os.path.join(self.cfg.data.data_root, "image2caps.json")
+            ) as f:
+                image2caps = json.load(f)
         return EncodedGQA(
             ds,
             self.features,
@@ -148,6 +154,7 @@ class GQARunner:
             max_text_len=self.cfg.model.max_text_len,
             backbone=self.cfg.model.backbone,
             butd_word2idx=self.butd_word2idx,
+            image2caps=image2caps,
         )
 
     def _init_params(self):
@@ -424,6 +431,75 @@ class GQARunner:
         """Soft accuracy on a labeled split."""
         evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
         return evaluator.evaluate(self.predict(encoded))
+
+    def topk_predict(
+        self, encoded: EncodedGQA, k: int = 4, dump: Optional[str] = None
+    ) -> float:
+        """Top-k oracle accuracy: count the gold answer as correct when it
+        appears in the top-k proposals (``gqa.py:196-217``)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def topk_step(params, batch, k):
+            out = self.forward(params, batch, deterministic=True)
+            return jax.lax.top_k(out["logits"].astype(jnp.float32), k)[1]
+
+        quesid2ans = {}
+        for qids, batch, real in self._iter_eval(encoded):
+            idx = np.asarray(topk_step(self.params, batch, k))[:real]
+            for qid, proposals in zip(qids, idx):
+                label = encoded.dataset.id2datum[qid].get("label") or {}
+                gold = next(iter(label), None)
+                names = [self.label2ans[int(p)] for p in proposals]
+                quesid2ans[qid] = gold if gold in names else names[0]
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        if dump:
+            evaluator.dump_result(quesid2ans, dump)
+        return evaluator.evaluate(quesid2ans)
+
+    @staticmethod
+    def oracle_score(encoded: EncodedGQA) -> float:
+        """Upper-bound accuracy from the targets alone (``gqa.py:244-253``)."""
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        quesid2ans = {}
+        for qid in encoded.question_ids:
+            label = encoded.dataset.id2datum[qid].get("label") or {}
+            best = max(label, key=label.get) if label else ""
+            quesid2ans[qid] = best
+        return evaluator.evaluate(quesid2ans)
+
+    def dump_attention(
+        self, encoded: EncodedGQA, out_dir: str, limit: Optional[int] = None
+    ) -> int:
+        """Dump cross-modal attention maps per question
+        (reference ``gqa_vis_att.py:263-299`` via the ``lxrt_vis`` fork;
+        here ``output_probs=True`` on the shared encoder).
+
+        Writes ``<out_dir>/<qid>.npz`` with ``lang2visn_{i}`` /
+        ``visn2lang_{i}`` arrays per cross-modal layer; returns the count.
+        """
+        os.makedirs(out_dir, exist_ok=True)
+
+        @jax.jit
+        def viz_step(params, batch):
+            out = self.forward(
+                params, batch, deterministic=True, output_probs=True
+            )
+            return out["x_attention_probs"]
+
+        written = 0
+        for qids, batch, real in self._iter_eval(encoded):
+            probs = viz_step(self.params, batch)
+            for row, qid in enumerate(qids[:real]):
+                arrays = {}
+                for i, (l2v, v2l) in enumerate(probs):
+                    arrays[f"lang2visn_{i}"] = np.asarray(l2v[row])
+                    arrays[f"visn2lang_{i}"] = np.asarray(v2l[row])
+                np.savez(os.path.join(out_dir, f"{qid}.npz"), **arrays)
+                written += 1
+                if limit and written >= limit:
+                    return written
+        return written
 
     def make_scorer(self, name: Optional[str] = None):
         ocfg = self.cfg.ood

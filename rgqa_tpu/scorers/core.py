@@ -34,7 +34,10 @@ def make_msp_scorer(forward) -> Callable:
     @jax.jit
     def score_fn(params, batch):
         out = forward(params, batch, deterministic=True)
-        probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
+        logits = out["logits"].astype(jnp.float32)
+        if logits.ndim == 1:  # single-logit heads (caps / separate)
+            logits = logits[:, None]
+        probs = jax.nn.sigmoid(logits)
         return {
             "label": jnp.argmax(probs, axis=-1),
             "score": jnp.max(probs, axis=-1),

@@ -141,6 +141,8 @@ def make_train_step(
             batch = mixup_augment(batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode)
         out = forward(params, batch, deterministic=False, rng=drop_rng)
         logits = out["logits"].astype(jnp.float32)
+        if logits.ndim == 1:  # single-logit heads (caps matcher)
+            logits = logits[:, None]
         target = batch["target"]
         id_mask = batch.get("id_mask")
 
@@ -195,6 +197,8 @@ def make_eval_step(forward: Callable, *, with_logits: bool = False):
     def step(params, batch):
         out = forward(params, batch, deterministic=True)
         logits = out["logits"].astype(jnp.float32)
+        if logits.ndim == 1:
+            logits = logits[:, None]
         probs = jax.nn.sigmoid(logits)
         res = {
             "label": jnp.argmax(probs, axis=-1),
