@@ -148,12 +148,36 @@ def pack_obj_tsv(
     out_dir: str,
     topk: int | None = None,
     num_boxes: int = 36,
+    feat_dim: int | None = None,
+    use_native: bool = True,
 ) -> PackedFeatures:
     """One-time TSV → packed-array conversion (the offline converter).
 
     Rows with a different box count than ``num_boxes`` are padded/truncated
-    to the fixed shape (the RGQA pipeline always uses 36 RoIs).
+    to the fixed shape (the RGQA pipeline always uses 36 RoIs).  Uses the
+    native C++ decoder (``rgqa_tpu.native``) when buildable; the numpy
+    path below is the portable fallback and correctness reference.
     """
+    if use_native:
+        try:
+            from rgqa_tpu import native
+
+            if feat_dim is None:
+                first = next(iter_obj_tsv(tsv_path))
+                feat_dim = first["features"].shape[1]
+            arrays = native.decode_obj_tsv_native(
+                tsv_path, topk=topk, num_boxes=num_boxes, feat_dim=feat_dim
+            )
+            img_ids = arrays.pop("img_ids")
+            os.makedirs(out_dir, exist_ok=True)
+            for name, arr in arrays.items():
+                np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+            with open(os.path.join(out_dir, "img_ids.json"), "w") as f:
+                json.dump(img_ids, f)
+            return PackedFeatures(out_dir)
+        except Exception as e:
+            print(f"native TSV decoder unavailable ({e}); using numpy path")
+
     rows = []
     for i, row in enumerate(iter_obj_tsv(tsv_path)):
         rows.append(row)

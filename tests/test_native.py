@@ -1,0 +1,97 @@
+"""Native C++ TSV decoder: parity with the numpy reference path + speed."""
+
+import base64
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+def _write_tsv(path, n_rows=20, num_boxes=36, feat_dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        feats = rng.standard_normal((num_boxes, feat_dim)).astype(np.float32)
+        boxes = rng.random((num_boxes, 4)).astype(np.float32) * 500
+        obj = rng.integers(0, 1600, num_boxes).astype(np.int64)
+        objc = rng.random(num_boxes).astype(np.float32)
+        attr = rng.integers(0, 400, num_boxes).astype(np.int64)
+        attrc = rng.random(num_boxes).astype(np.float32)
+        b64 = lambda a: base64.b64encode(a.tobytes()).decode()
+        rows.append(
+            "\t".join(
+                [
+                    f"img{i:04d}", "480", "640",
+                    b64(obj), b64(objc), b64(attr), b64(attrc),
+                    str(num_boxes), b64(boxes), b64(feats),
+                ]
+            )
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return n_rows
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    from rgqa_tpu import native
+
+    if not native.available():
+        pytest.skip("g++ not available")
+    return native
+
+
+class TestNativeDecoder:
+    def test_matches_numpy_reference(self, native_lib, tmp_path):
+        from rgqa_tpu.data.tsv import load_obj_tsv
+
+        path = str(tmp_path / "test.tsv")
+        n = _write_tsv(path, n_rows=12, feat_dim=32)
+        got = native_lib.decode_obj_tsv_native(path, num_boxes=36, feat_dim=32)
+        ref_rows = load_obj_tsv(path)
+        assert len(got["img_ids"]) == n == len(ref_rows)
+        for i, ref in enumerate(ref_rows):
+            assert got["img_ids"][i] == ref["img_id"]
+            np.testing.assert_array_equal(got["features"][i], ref["features"])
+            np.testing.assert_array_equal(got["boxes"][i], ref["boxes"])
+            np.testing.assert_array_equal(got["objects_id"][i], ref["objects_id"])
+            np.testing.assert_array_equal(got["attrs_conf"][i], ref["attrs_conf"])
+            assert got["sizes"][i, 0] == ref["img_h"]
+            assert got["sizes"][i, 1] == ref["img_w"]
+
+    def test_topk_and_truncation(self, native_lib, tmp_path):
+        path = str(tmp_path / "t2.tsv")
+        _write_tsv(path, n_rows=10, num_boxes=36, feat_dim=16)
+        got = native_lib.decode_obj_tsv_native(
+            path, topk=4, num_boxes=20, feat_dim=16
+        )
+        assert got["features"].shape == (4, 20, 16)
+        assert len(got["img_ids"]) == 4
+
+    def test_pack_obj_tsv_native_path(self, native_lib, tmp_path):
+        from rgqa_tpu.data.tsv import PackedFeatures, pack_obj_tsv
+
+        path = str(tmp_path / "t3.tsv")
+        _write_tsv(path, n_rows=6, feat_dim=16)
+        packed = pack_obj_tsv(path, str(tmp_path / "packed"), feat_dim=16)
+        assert isinstance(packed, PackedFeatures)
+        assert len(packed) == 6
+        row = packed.row("img0003")
+        assert row["features"].shape == (36, 16)
+
+    def test_faster_than_python(self, native_lib, tmp_path):
+        from rgqa_tpu.data.tsv import load_obj_tsv
+
+        path = str(tmp_path / "big.tsv")
+        _write_tsv(path, n_rows=80, feat_dim=512)
+
+        t0 = time.perf_counter()
+        native_lib.decode_obj_tsv_native(path, num_boxes=36, feat_dim=512)
+        t_native = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        load_obj_tsv(path)
+        t_python = time.perf_counter() - t0
+        # The native pass should win comfortably; allow slack for CI noise.
+        assert t_native < t_python * 1.5, (t_native, t_python)
