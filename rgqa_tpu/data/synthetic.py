@@ -184,6 +184,20 @@ def make_synthetic_gqa(
         "attrs_conf": rng.random((n, k), dtype=np.float32),
         "sizes": sizes,
     }
+    # Detected-object vocab for the FRCNN-coverage scorer (reference
+    # data/vg_gqa_imgfeat/objects_vocab.txt): real object names first,
+    # filler classes after.  Each image's first box detects its dominant
+    # object (when the dominant answer is an object) so coverage carries
+    # signal.
+    obj_vocab = list(_OBJECTS) + [f"thing{i:04d}" for i in range(1600 - len(_OBJECTS))]
+    with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
+        f.write("\n".join(obj_vocab) + "\n")
+    obj2idx = {o: i for i, o in enumerate(_OBJECTS)}
+    for i in range(n):
+        ans = img2answer[i]
+        if ans in obj2idx:
+            arrays["objects_id"][i, 0] = obj2idx[ans]
+
     for name, arr in arrays.items():
         np.save(os.path.join(feat_dir, f"{name}.npy"), arr)
     with open(os.path.join(feat_dir, "img_ids.json"), "w") as f:

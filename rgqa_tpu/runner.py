@@ -579,6 +579,68 @@ class GQARunner:
             dump_predictions(quesid2ans, dump)
         return results
 
+    def coverage_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        objects_vocab_path: str,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """FRCNN object-coverage rejection (``gqa_fasterrcnn.py:105-133``):
+        answers from this model's MSP argmax; confidence = 1 iff every
+        question noun stem matches a detected object name."""
+        from rgqa_tpu.scorers import coverage_scores, load_object_vocab
+
+        vocab = load_object_vocab(objects_vocab_path)
+        answers = self.predict(encoded)
+        ds = encoded.dataset
+        qids = list(encoded.question_ids)
+        sents = [ds.id2datum[q]["sent"] for q in qids]
+        rows = encoded.img_row
+        objects = [np.asarray(self.features.objects_id[r]) for r in rows]
+        scores = coverage_scores(sents, objects, vocab)
+        quesid2ans = {
+            qid: (answers[qid], float(s)) for qid, s in zip(qids, scores)
+        }
+        evaluator = RGQAEvaluator(ds.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def match_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        pretrain_params,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """LXMERT cross-modal match rejection (``gqa_lxrcap.py:98-120``):
+        answers from this finetuned model, confidence from the pretraining
+        matched head's softmax[:, 1]."""
+        from rgqa_tpu.models.lxmert import LxmertPretraining
+
+        pre_model = LxmertPretraining(self.model_cfg.encoder, dtype=jnp.float32)
+
+        @jax.jit
+        def match_step(params, batch):
+            return pre_model.apply(
+                {"params": params},
+                batch["input_ids"], batch["input_mask"],
+                batch["segment_ids"], batch["feats"], batch["boxes"],
+                method=LxmertPretraining.match_score,
+            )
+
+        answers = self.predict(encoded)
+        quesid2ans = {}
+        for qids, batch, real in self._iter_eval(encoded):
+            scores = np.asarray(match_step(pretrain_params, batch))[:real]
+            for qid, s in zip(qids, scores):
+                quesid2ans[qid] = (answers[qid], float(s))
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
     def fit_maha_estimator(self):
         """Per-class means + shared precision over the train set
         (``gqa_maha.py:120-189``), cached like the reference."""

@@ -1,0 +1,6 @@
+# Vanilla finetune (reference scripts/butd/train/vanilla.sh)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+python -m rgqa_tpu.cli.train --backbone butd --data_root $DATA_ROOT \
+  --train GQAUQ_train_questions_unsup,GQAUQ_valid_questions_unsup \
+  --batchSize 64 --epochs 10 --lr 1e-5 --output $OUTPUT/butd/vanilla "$@"

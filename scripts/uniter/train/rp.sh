@@ -1,0 +1,7 @@
+# RP in-batch random-pairing pseudo-UQ (reference scripts/uniter/train/rp.sh)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+python -m rgqa_tpu.cli.train --backbone uniter --data_root $DATA_ROOT \
+  --train GQAUQ_train_questions_unsup,GQAUQ_valid_questions_unsup \
+  --sample_pair --batchSize 64 --epochs 10 --lr 1e-5 \
+  --output $OUTPUT/uniter/rp "$@"
