@@ -13,6 +13,8 @@ from rgqa_tpu.checkpoint.orbax_io import (
 )
 from rgqa_tpu.checkpoint.torch_import import (
     assign_into_tree,
+    butd_key_map,
+    import_butd_gqa,
     import_lxmert_gqa,
     import_uniter_gqa,
     load_lxmert_qa,
@@ -29,6 +31,8 @@ __all__ = [
     "load_torch_state_dict",
     "import_lxmert_gqa",
     "import_uniter_gqa",
+    "import_butd_gqa",
+    "butd_key_map",
     "load_lxmert_qa",
     "lxmert_key_map",
     "uniter_key_map",

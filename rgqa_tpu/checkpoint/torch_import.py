@@ -232,7 +232,8 @@ def assign_into_tree(
         val = flat[tk]
         if transpose:
             val = val.T
-        setpath(new, fpath, np.ascontiguousarray(val))
+        # NOT ascontiguousarray: it promotes 0-d scalars (weight-norm g) to 1-d.
+        setpath(new, fpath, np.asarray(val, order="C"))
         used.add(tk)
     unused = [k for k in flat if k not in used]
     if strict and missing:
@@ -274,6 +275,54 @@ def import_lxmert_gqa(
         for t, f, tr in key_map
     ]
     return assign_into_tree(params, sd, key_map)
+
+
+def butd_key_map(*, branched: bool = False) -> list[tuple[str, tuple, bool]]:
+    """Key map for BUTD checkpoints (``src/butd/butd.py:107-221``).
+
+    torch ``weight_norm(..., dim=None)`` stores ``weight_g`` (scalar norm
+    gain) + ``weight_v``; these map onto WeightNormDense's ``g``/``v``
+    (same parameterization, ``w = g * v / ||v||_F``).  The GRU's
+    ``weight_ih_l0``/``weight_hh_l0`` are already (3H, in) — no transpose.
+    """
+
+    def wn(tkey: str, fpath: tuple) -> list:
+        return [
+            (f"{tkey}.weight_g", fpath + ("g",), False),
+            (f"{tkey}.weight_v", fpath + ("v",), False),
+            (f"{tkey}.bias", fpath + ("b",), False),
+        ]
+
+    m: list = [
+        ("w_emb.emb.weight", ("w_emb", "embedding"), False),
+        ("q_enc.rnn.weight_ih_l0", ("gru_w_ih",), False),
+        ("q_enc.rnn.weight_hh_l0", ("gru_w_hh",), False),
+        ("q_enc.rnn.bias_ih_l0", ("gru_b_ih",), False),
+        ("q_enc.rnn.bias_hh_l0", ("gru_b_hh",), False),
+    ]
+    m += wn("att.image_proj.mlp.0", ("att", "image_proj"))
+    m += wn("att.question_proj.mlp.0", ("att", "question_proj"))
+    m += wn("att.linear", ("att", "linear"))
+    m += wn("q_project.mlp.0", ("q_project",))
+    m += wn("img_project.mlp.0", ("img_project",))
+    m += wn("ans_classifier.0", ("ans_fc1",))
+    m += wn("ans_classifier.3", ("ans_fc2",))
+    if branched:
+        m += wn("conf_classifier.0", ("conf_fc1",))
+        m += wn("conf_classifier.3", ("conf_fc2",))
+    return m
+
+
+def import_butd_gqa(
+    params: Any, path: str, *, branched: bool = False
+) -> tuple[Any, list[str], list[str]]:
+    """Import a reference GQA-BUTD ``.pth`` into ButdForGQA params."""
+    sd = load_torch_state_dict(path)
+    # weight_g under dim=None carries singleton dims; flatten to scalar.
+    for k in list(sd):
+        if k.endswith("weight_g"):
+            sd[k] = np.asarray(sd[k]).reshape(())
+    return assign_into_tree(params, sd, butd_key_map(branched=branched))
 
 
 def load_lxmert_qa(
