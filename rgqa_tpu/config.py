@@ -66,8 +66,14 @@ class ModelConfig:
     # ViLT-specific shape (ViT-B/32).
     vilt_patch_size: int = 32
     vilt_image_size: int = 384
+    # Train 'UQ' as a real answer class (reference gqa.py get_tuple_uq,
+    # :37-52): the model outputs num_answers *including* UQ instead of the
+    # conf-style K-1 + indicator convention.
+    uq_as_class: bool = False
     # Branched-confidence head (reference gqa_model_branched.py:28-51).
     branched: bool = False
+    # Layer-tapped confidence branch (reference gqa_branched_layer.py).
+    branched_layers: bool = False
     project_size: int = 128
 
 
@@ -241,6 +247,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=None)
     p.add_argument("--branched", action="store_true")
+    p.add_argument("--branched_layer", dest="branched_layers", action="store_true")
+    p.add_argument("--uq_as_class", action="store_true")
     # OOD / rejection
     p.add_argument("--scorer", default="msp")
     p.add_argument("--tau", type=float, default=0.5)
@@ -301,6 +309,8 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             encoder=encoder,
             project_size=ns.project_size,
             branched=ns.branched,
+            branched_layers=ns.branched_layers,
+            uq_as_class=ns.uq_as_class,
         ),
         train=TrainConfig(
             batch_size=ns.batch_size,

@@ -140,7 +140,9 @@ class EncodedGQA:
         butd_word2idx: Optional[Mapping[str, int]] = None,
         drop_missing_images: bool = True,
         image2caps: Optional[Mapping[str, Sequence[str]]] = None,
+        keep_uq_target: bool = False,
     ):
+        self.keep_uq_target = keep_uq_target
         self.dataset = dataset
         self.features = features
         self.backbone = backbone
@@ -231,8 +233,13 @@ class EncodedGQA:
                 self.label_idx[idx], self.label_score[idx], self.num_answers
             )
             # Trainers over the UQ-extended vocab slice the UQ column off
-            # and use it as the ID indicator (gqa_conf.py:152, gqa_energy.py:122).
-            if self.dataset.label2ans and self.dataset.label2ans[-1] == UQ_ANSWER:
+            # and use it as the ID indicator (gqa_conf.py:152, gqa_energy.py:122)
+            # — unless UQ is trained as a real class (gqa.py get_tuple_uq).
+            if (
+                not self.keep_uq_target
+                and self.dataset.label2ans
+                and self.dataset.label2ans[-1] == UQ_ANSWER
+            ):
                 batch["target"] = target[:, :-1]
                 batch["id_mask"] = (target[:, -1] == 0).astype(np.float32)
             else:

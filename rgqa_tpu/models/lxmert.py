@@ -118,15 +118,24 @@ class LxmertModel(nn.Module):
             visn, _ = layer(visn, bias=visn_bias, **kw)
 
         all_probs = []
+        lang_layers = []
         for layer in self.x_layers:
             lang, visn, probs = layer(
                 lang, lang_bias, visn, visn_bias, output_probs=output_probs, **kw
             )
+            lang_layers.append(lang)
             if output_probs:
                 all_probs.append(probs)
 
         pooled = self.pooler(lang)
-        out = {"lang": lang, "visn": visn, "pooled": pooled}
+        out = {
+            "lang": lang,
+            "visn": visn,
+            "pooled": pooled,
+            # Per-x-layer language features — the multi-level OOD taps of
+            # the reference's gqa_branched_layer.py fork (:103-110).
+            "lang_layers": lang_layers,
+        }
         if output_probs:
             out["x_attention_probs"] = all_probs
         return out
@@ -165,6 +174,10 @@ class LxmertForGQA(nn.Module):
     cfg: EncoderConfig
     num_answers: int
     branched: bool = False
+    # Layer-tapped confidence branch (reference gqa_branched_layer.py:48-60):
+    # per-x-layer CLS -> tanh projection -> concat -> 1 logit.
+    branched_layers: bool = False
+    project_size: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -174,6 +187,17 @@ class LxmertForGQA(nn.Module):
         )
         if self.branched:
             self.conf_head = AnswerHead(1, self.cfg.hidden_size, self.dtype)
+        if self.branched_layers:
+            self.projectors = [
+                nn.Dense(
+                    self.project_size, kernel_init=dense_init,
+                    name=f"proj_{i}", dtype=self.dtype,
+                )
+                for i in range(self.cfg.x_layers)
+            ]
+            self.layer_conf = nn.Dense(
+                1, kernel_init=dense_init, name="layer_conf", dtype=self.dtype
+            )
 
     def __call__(
         self,
@@ -193,6 +217,12 @@ class LxmertForGQA(nn.Module):
         }
         if self.branched:
             out["conf"] = self.conf_head(enc["pooled"])[:, 0]
+        if self.branched_layers:
+            taps = [
+                jnp.tanh(proj(lang[:, 0]))
+                for proj, lang in zip(self.projectors, enc["lang_layers"])
+            ]
+            out["conf"] = self.layer_conf(jnp.concatenate(taps, axis=-1))[:, 0]
         if "x_attention_probs" in enc:
             out["x_attention_probs"] = enc["x_attention_probs"]
         return out

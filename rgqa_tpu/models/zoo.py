@@ -37,7 +37,12 @@ def _build_lxmert(cfg: ModelConfig, dtype):
     from rgqa_tpu.models.lxmert import LxmertForGQA
 
     model = LxmertForGQA(
-        cfg.encoder, cfg.num_answers, branched=cfg.branched, dtype=dtype
+        cfg.encoder,
+        cfg.num_answers,
+        branched=cfg.branched,
+        branched_layers=cfg.branched_layers,
+        project_size=cfg.project_size,
+        dtype=dtype,
     )
 
     def forward(params, batch, *, deterministic=True, rng=None, **kw):

@@ -96,6 +96,8 @@ class GQARunner:
         import dataclasses
 
         num_real = self.dataset.num_answers - 1
+        if cfg.model.uq_as_class:
+            num_real = self.dataset.num_answers  # UQ trained as a class
         if cfg.train.strategy in ("separate", "caption"):
             num_real = 1  # binary detector head (gqa_separate.py)
         mcfg = dataclasses.replace(
@@ -155,6 +157,7 @@ class GQARunner:
             backbone=self.cfg.model.backbone,
             butd_word2idx=self.butd_word2idx,
             image2caps=image2caps,
+            keep_uq_target=self.cfg.model.uq_as_class,
         )
 
     def _init_params(self):
@@ -200,7 +203,15 @@ class GQARunner:
     # Training (gqa_conf.py:140-243)
     # ------------------------------------------------------------------
 
-    def train(self) -> dict:
+    def train(self, resume: Optional[str] = None) -> dict:
+        """Train per the configured strategy.
+
+        ``resume`` names a checkpoint saved by :meth:`save` (e.g. "LAST")
+        to restore *including optimizer state and step counter* — true
+        resume, which the reference lacks entirely (SURVEY.md §5).
+        Set ``RGQA_PROFILE_DIR`` to capture a ``jax.profiler`` trace of the
+        first training steps.
+        """
         if self.cfg.train.strategy in ("resampling", "poem", "woods"):
             return self.train_minmax()
         cfg = self.cfg
@@ -210,6 +221,16 @@ class GQARunner:
         t_total = max(n_batches * tcfg.epochs, 1)
         tx = make_optimizer(tcfg.optim, t_total)
         state = create_train_state(self.params, tx)
+        if resume:
+            restored = load_checkpoint(self.output, resume, template=state)
+            state = state.replace(
+                step=restored["step"],
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+            )
+
+        profile_dir = os.environ.get("RGQA_PROFILE_DIR")
+        profiled = False
 
         if tcfg.strategy == "adv":
             from rgqa_tpu.train.adversarial import AdvConfig, make_adv_train_step
@@ -239,7 +260,7 @@ class GQARunner:
                 energy=cfg.ood.scorer == "energy" and tcfg.m_in != 0,
                 m_in=tcfg.m_in,
                 m_out=tcfg.m_out,
-                branched=cfg.model.branched,
+                branched=cfg.model.branched or cfg.model.branched_layers,
                 binary=tcfg.strategy in ("separate", "caption"),
                 grad_clip=tcfg.optim.grad_clip,
             )
@@ -264,7 +285,13 @@ class GQARunner:
             )
             for qids, batch, _ in it:
                 key, sub = jax.random.split(key)
-                state, aux = step(state, batch, sub)
+                if profile_dir and not profiled and epoch == 0:
+                    with jax.profiler.trace(profile_dir):
+                        state, aux = step(state, batch, sub)
+                        jax.block_until_ready(aux["loss"])
+                    profiled = True
+                else:
+                    state, aux = step(state, batch, sub)
                 if tcfg.chart:
                     scores = np.asarray(aux["score"])
                     labels = np.asarray(aux["label"])
