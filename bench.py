@@ -43,7 +43,14 @@ def main():
         batch["feats"][:2],
         batch["boxes"][:2],
     )["params"]
-    params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
+    # Inference serves from bf16 weights: halves HBM weight traffic
+    # (training keeps f32 master params; this is the serving path).
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        ),
+        params,
+    )
 
     iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
     # Measured on v5e: XLA's fused attention beats the Pallas kernel at

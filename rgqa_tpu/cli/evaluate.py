@@ -1,8 +1,15 @@
-"""Evaluation CLI (reference ``src/tasks/gqa_conf.py`` __main__, test path).
+"""Evaluation CLI (reference ``src/tasks/gqa_conf.py`` __main__, test path,
+plus the ensemble / coverage / match eval drivers).
 
 Runs rejection-scored inference over one or more test splits and writes
 ``<output>/<split>_predict.json`` (the compute_accfpr-compatible contract)
 plus ``<output>/<split>_result.json`` with the metric dict.
+
+Scorers:
+  msp | energy | odin | dropout | maha | branched   — jittable, on-device
+  ensemble   — ``--load ckpt1,ckpt2,...`` (gqa_ensemble.py)
+  frcnn      — object coverage; needs ``<data_root>/objects_vocab.txt``
+  match      — pretraining matched head; ``--loadLXMERT <pretrain ckpt>``
 
 Example:
     python -m rgqa_tpu.cli.evaluate --synthetic --data_root /tmp/gqa \
@@ -23,7 +30,14 @@ def main(argv=None):
     cfg, ns = parse_cli(argv)
     if not cfg.data.test_splits:
         raise SystemExit("--test <split[,split...]> is required")
-    runner = GQARunner(cfg, init_train=cfg.ood.scorer == "maha")
+    scorer_name = cfg.ood.scorer
+    ensemble_paths = None
+    if cfg.load and "," in cfg.load:
+        scorer_name = "ensemble"
+        ensemble_paths = cfg.load.split(",")
+        cfg = cfg.replace(load=ensemble_paths[0])
+
+    runner = GQARunner(cfg, init_train=scorer_name == "maha")
 
     all_results = {}
     for split in cfg.data.test_splits.split(","):
@@ -33,6 +47,24 @@ def main(argv=None):
         if ns.target_acc is not None:
             out = runner.predict_with_thresh(encoded, dump=dump)
             results = {"tau": out["tau"]}
+        elif scorer_name == "ensemble":
+            results = runner.ensemble_ood_evaluate(
+                encoded, ensemble_paths, dump=dump
+            )
+        elif scorer_name == "frcnn":
+            results = runner.coverage_ood_evaluate(
+                encoded,
+                os.path.join(cfg.data.data_root, "objects_vocab.txt"),
+                dump=dump,
+            )
+        elif scorer_name == "match":
+            if not cfg.load_lxmert:
+                raise SystemExit("--scorer match needs --loadLXMERT <ckpt>")
+            from rgqa_tpu.checkpoint import load_checkpoint
+
+            directory, name = os.path.split(cfg.load_lxmert.rstrip("/"))
+            pre = load_checkpoint(directory or ".", name)["params"]
+            results = runner.match_ood_evaluate(encoded, pre, dump=dump)
         else:
             results = runner.ood_evaluate(encoded, dump=dump)
         all_results[split] = results

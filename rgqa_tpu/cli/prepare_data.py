@@ -1,0 +1,51 @@
+"""Data preparation: reference download layout -> packed TPU layout.
+
+The reference fetches GQA/RGQA JSONs + bottom-up-attention TSVs
+(``data/download_rgqa.sh``) and re-decodes the TSVs on every run; this
+converter runs ONCE:
+
+    python -m rgqa_tpu.cli.prepare_data \
+        --tsv data/vg_gqa_imgfeat/vg_gqa_obj36.tsv \
+        --json_dir data/gqa --vocab path/to/bert_vocab.txt \
+        --out data_packed
+
+Produces the ``rgqa_tpu`` data root: split JSONs (copied), answer vocab
+(copied), ``features/`` (packed memory-mappable arrays via the native C++
+decoder), and ``vocab.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(allow_abbrev=False)
+    p.add_argument("--tsv", required=True, help="bottom-up-attention TSV")
+    p.add_argument("--json_dir", required=True, help="dir with split JSONs + ans2label")
+    p.add_argument("--vocab", required=True, help="WordPiece vocab.txt (BERT)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--topk", type=int, default=None, help="limit images (--tiny/--fast)")
+    p.add_argument("--num_boxes", type=int, default=36)
+    args = p.parse_args(argv)
+
+    from rgqa_tpu.data.tsv import pack_obj_tsv
+
+    os.makedirs(args.out, exist_ok=True)
+    for path in glob.glob(os.path.join(args.json_dir, "*.json")):
+        shutil.copy(path, args.out)
+    shutil.copy(args.vocab, os.path.join(args.out, "vocab.txt"))
+    packed = pack_obj_tsv(
+        args.tsv,
+        os.path.join(args.out, "features"),
+        topk=args.topk,
+        num_boxes=args.num_boxes,
+    )
+    print(f"packed {len(packed)} images into {args.out}/features")
+
+
+if __name__ == "__main__":
+    main()

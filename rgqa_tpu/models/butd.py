@@ -170,6 +170,23 @@ def tokenize_front_padded(
     return out
 
 
+def build_glove_matrix(
+    word2idx: dict[str, int], glove_path: str, dim: int = 300
+) -> np.ndarray:
+    """GloVe embedding matrix for a word dict
+    (reference ``butd/preprocess.py:54-123``): rows for known words from
+    the GloVe text file, zeros elsewhere; one extra all-zero padding row.
+    Load into ``ButdForGQA`` params at ``w_emb/embedding``."""
+    out = np.zeros((len(word2idx) + 1, dim), np.float32)
+    with open(glove_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip().split(" ")
+            word = parts[0]
+            if word in word2idx and len(parts) == dim + 1:
+                out[word2idx[word]] = np.asarray(parts[1:], np.float32)
+    return out
+
+
 def butd_split(sentence: str) -> list[str]:
     """The reference's ad-hoc word splitter (``preprocess.py:30-42``)."""
     s = (

@@ -710,6 +710,24 @@ class GQARunner:
             )
         return est
 
+    def get_pseudo_labels(
+        self, encoded: EncodedGQA, dump: Optional[str] = None
+    ) -> list[dict]:
+        """Teacher-label a split: each row's label becomes the model's
+        max-sigmoid answer with its confidence (``gqa_conf.py:335-353``)."""
+        quesid2ans = self.score_split(encoded)
+        rows = []
+        for qid in encoded.question_ids:
+            datum = dict(encoded.dataset.id2datum[qid])
+            ans, score = quesid2ans[qid]
+            datum["label"] = {ans: float(score)}
+            rows.append(datum)
+        if dump:
+            with open(dump, "w") as f:
+                json.dump(rows, f)
+            print(f"{len(rows)} pseudo data have been saved in {dump}.")
+        return rows
+
     def predict_with_thresh(
         self, encoded: EncodedGQA, dump: Optional[str] = None
     ) -> dict:
