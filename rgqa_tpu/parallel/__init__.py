@@ -16,6 +16,7 @@ from rgqa_tpu.parallel.mesh import (
     param_partition_spec,
     pad_batch_to,
 )
+from rgqa_tpu.parallel.distributed import initialize_multihost, global_mesh
 
 __all__ = [
     "make_mesh",
@@ -25,4 +26,6 @@ __all__ = [
     "shard_params",
     "param_partition_spec",
     "pad_batch_to",
+    "initialize_multihost",
+    "global_mesh",
 ]

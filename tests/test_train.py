@@ -216,3 +216,23 @@ class TestGraftEntry:
         finally:
             sys.path.pop(0)
         dryrun_multichip(8)
+
+
+class TestDistributed:
+    def test_single_process_noop_and_global_mesh(self):
+        from rgqa_tpu.parallel import global_mesh, initialize_multihost
+
+        initialize_multihost()  # single process: must be a no-op
+        mesh = global_mesh(model=2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4,
+            "model": 2,
+        }
+
+    def test_model_axis_must_divide_local(self):
+        import pytest as _pytest
+
+        from rgqa_tpu.parallel import global_mesh
+
+        with _pytest.raises(ValueError):
+            global_mesh(model=3)
