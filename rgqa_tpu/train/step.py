@@ -80,29 +80,57 @@ def rp_augment(batch: dict, rng: jax.Array) -> dict:
 def mixup_augment(batch: dict, rng: jax.Array, alpha: float, beta: float, mode: str) -> dict:
     """Mixup-RoI pseudo-UQ augmentation (reference ``gqa_mixup_vis.py``).
 
-    Vectorized: draw lambda ~ Beta(alpha, beta) per appended row, mix each
-    row's RoI features with a rolled partner's, zero the target.  ``mode``
-    'vis' mixes only vision; 'both' also mixes nothing textual (text from
-    the anchor row, as the reference keeps the anchor question).
-    """
-    del mode
-    lam_rng, roll_rng = jax.random.split(rng)
-    b = batch["feats"].shape[0]
-    lam = jax.random.beta(lam_rng, alpha, beta, (b, 1, 1))
-    shift = jax.random.randint(roll_rng, (), 1, b)
-    mixed_feats = lam * batch["feats"] + (1 - lam) * jnp.roll(batch["feats"], shift, 0)
-    mixed_boxes = lam * batch["boxes"] + (1 - lam) * jnp.roll(batch["boxes"], shift, 0)
+    RoI-level *swap*, not convex blending (``:134-181``): per appended row,
+    draw ``prop ~ Beta(alpha, beta)``, keep ``floor(prop * N)`` random RoIs
+    from the anchor image and take the rest from a different image
+    (``mixup_v3``: zeros instead of the other image's features; boxes
+    always come from the partner on swapped slots).  Targets:
+    ``prop * target`` for v1/v3, zero for v2.  The question text is the
+    anchor's (``sent + sent``).  ``perturb`` mode instead shuffles the
+    *boxes* across RoI slots with unchanged features, zero target
+    (``:124-133``).
 
+    Host rejection loops become device ops: the partner is a random batch
+    roll; the kept subset is the bottom-``floor(prop*N)`` ranks of i.i.d.
+    uniforms (exact subset size, like the reference's shuffled prefix).
+    """
     out = dict(batch)
     text_keys = [k for k in ("input_ids", "input_mask", "segment_ids", "token_ids") if k in batch]
     for k in text_keys:
         out[k] = jnp.concatenate([batch[k], batch[k]], 0)
-    out["feats"] = jnp.concatenate([batch["feats"], mixed_feats], 0)
-    out["boxes"] = jnp.concatenate([batch["boxes"], mixed_boxes], 0)
-    out["target"] = jnp.concatenate(
-        [batch["target"], jnp.zeros_like(batch["target"])], 0
-    )
+    feats, boxes, target = batch["feats"], batch["boxes"], batch["target"]
+    b, n = feats.shape[:2]
+
+    if mode == "perturb":
+        perm_rng, _ = jax.random.split(rng)
+        perm = jax.random.permutation(perm_rng, n)
+        pet_boxes = boxes[:, perm, :]
+        out["feats"] = jnp.concatenate([feats, feats], 0)
+        out["boxes"] = jnp.concatenate([boxes, pet_boxes], 0)
+        pet_target = jnp.zeros_like(target)
+    else:
+        prop_rng, sub_rng, roll_rng = jax.random.split(rng, 3)
+        prop = jax.random.beta(prop_rng, alpha, beta, (b,))
+        # Exact floor(prop*N)-subset via uniform ranks.
+        u = jax.random.uniform(sub_rng, (b, n))
+        ranks = jnp.argsort(jnp.argsort(u, axis=1), axis=1)
+        keep = ranks < jnp.floor(prop[:, None] * n)  # (B, N) from anchor
+        shift = jax.random.randint(roll_rng, (), 1, b)
+        neg_feats = jnp.roll(feats, shift, axis=0)
+        neg_boxes = jnp.roll(boxes, shift, axis=0)
+        base = jnp.zeros_like(feats) if mode == "mixup_v3" else neg_feats
+        pet_feats = jnp.where(keep[..., None], feats, base)
+        pet_boxes = jnp.where(keep[..., None], boxes, neg_boxes)
+        out["feats"] = jnp.concatenate([feats, pet_feats], 0)
+        out["boxes"] = jnp.concatenate([boxes, pet_boxes], 0)
+        if mode == "mixup_v2":
+            pet_target = jnp.zeros_like(target)
+        else:  # mixup_v1 / mixup_v3 / legacy 'vis'
+            pet_target = target * prop[:, None]
+
+    out["target"] = jnp.concatenate([target, pet_target], 0)
     if "id_mask" in batch:
+        # Appended rows are pseudo-UQ (not pure ID rows).
         out["id_mask"] = jnp.concatenate(
             [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
         )

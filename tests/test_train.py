@@ -174,14 +174,36 @@ class TestTrainStep:
             np.asarray(out["input_ids"][4:]), np.asarray(batch["input_ids"])
         )
 
-    def test_mixup_appends_mixed_rois(self):
+    def test_mixup_swaps_rois_and_scales_targets(self):
         from rgqa_tpu.train.step import mixup_augment
 
         batch = example_batch(TINY_CFG, batch_size=4, seed=2, with_target=True)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = mixup_augment(batch, jax.random.PRNGKey(0), 1.0, 1.0, "vis")
+        out = mixup_augment(batch, jax.random.PRNGKey(0), 1.0, 1.0, "mixup_v1")
         assert out["feats"].shape[0] == 8
-        np.testing.assert_array_equal(np.asarray(out["target"][4:]), 0.0)
+        # Every appended RoI slot is either the anchor's or the partner's
+        # feature vector, never a blend (gqa_mixup_vis.py:155-160).
+        pet = np.asarray(out["feats"][4:])
+        anchor = np.asarray(batch["feats"])
+        partner_candidates = [np.roll(anchor, s, axis=0) for s in range(1, 4)]
+        for i in range(4):
+            for j in range(pet.shape[1]):
+                ok = np.allclose(pet[i, j], anchor[i, j]) or any(
+                    np.allclose(pet[i, j], pc[i, j]) for pc in partner_candidates
+                )
+                assert ok, (i, j)
+        # v1 targets scale by prop in [0, 1].
+        pet_t = np.asarray(out["target"][4:])
+        orig_t = np.asarray(batch["target"])
+        ratio = pet_t.sum(1) / np.maximum(orig_t.sum(1), 1e-9)
+        assert np.all(ratio >= 0) and np.all(ratio <= 1)
+        # v2 zeroes targets; perturb shuffles boxes with same feats.
+        out2 = mixup_augment(batch, jax.random.PRNGKey(1), 1.0, 1.0, "mixup_v2")
+        np.testing.assert_array_equal(np.asarray(out2["target"][4:]), 0.0)
+        out3 = mixup_augment(batch, jax.random.PRNGKey(2), 1.0, 1.0, "perturb")
+        np.testing.assert_array_equal(
+            np.asarray(out3["feats"][4:]), np.asarray(batch["feats"])
+        )
 
     def test_spmd_step_on_8_device_mesh(self):
         assert len(jax.devices()) == 8
