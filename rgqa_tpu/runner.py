@@ -253,6 +253,7 @@ class GQARunner:
             step = make_train_step(
                 self.forward,
                 loss=tcfg.loss,
+                weighted_rp=tcfg.strategy == "weight",
                 sample_pair=tcfg.sample_pair,
                 mixup_mode=tcfg.mixup_mode,
                 mixup_alpha=tcfg.mixup_alpha,
@@ -268,6 +269,7 @@ class GQARunner:
         if tcfg.chart:
             os.makedirs(os.path.join(self.output, "chart"), exist_ok=True)
 
+        similarity = self._weight_similarity() if tcfg.strategy == "weight" else None
         rng = np.random.default_rng(tcfg.seed)
         key = jax.random.PRNGKey(tcfg.seed)
         best_valid = 0.0
@@ -284,6 +286,18 @@ class GQARunner:
                 self.mesh,
             )
             for qids, batch, _ in it:
+                if similarity is not None:
+                    shift = int(rng.integers(1, len(qids)))
+                    neg_qids = qids[-shift:] + qids[:-shift]  # np.roll order
+                    sims = similarity(qids, neg_qids)
+                    w = np.exp(
+                        (sims - sims.max()) / self.cfg.ood.temperature
+                    )
+                    batch = dict(batch)
+                    batch["neg_shift"] = jnp.asarray(shift, jnp.int32)
+                    batch["neg_weights"] = jnp.asarray(
+                        w / w.sum(), jnp.float32
+                    )
                 key, sub = jax.random.split(key)
                 if profile_dir and not profiled and epoch == 0:
                     with jax.profiler.trace(profile_dir):
@@ -329,6 +343,31 @@ class GQARunner:
 
         self.save("LAST", state)
         return history
+
+    def _weight_similarity(self):
+        """Image-question similarity for the CLIP-weighted RP strategy
+        (``gqa_weight.py``).  Prefers a local CLIP checkpoint + raw images;
+        falls back to caption/question word overlap (captions stand in for
+        the image content in image-free environments), else uniform."""
+        caps_path = os.path.join(self.cfg.data.data_root, "image2caps.json")
+        image2caps = {}
+        if os.path.exists(caps_path):
+            with open(caps_path) as f:
+                image2caps = json.load(f)
+
+        def overlap_similarity(anchor_qids, neg_qids):
+            sims = np.zeros(len(anchor_qids), np.float32)
+            for i, (aq, nq) in enumerate(zip(anchor_qids, neg_qids)):
+                img_id = self.dataset.id2datum[aq]["img_id"]
+                cap = " ".join(image2caps.get(img_id, [""])).lower().split()
+                sent = self.dataset.id2datum[nq]["sent"].lower().split()
+                if cap and sent:
+                    sims[i] = len(set(cap) & set(sent)) / len(set(sent))
+            return sims
+
+        if image2caps:
+            return overlap_similarity
+        return lambda a, n: np.zeros(len(a), np.float32)  # uniform weights
 
     def train_minmax(self) -> dict:
         """Dual-loader min-max training: resampling / POEM / WOODS

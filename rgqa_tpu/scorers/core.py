@@ -107,12 +107,14 @@ def make_odin_scorer(
 
 
 def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
-    """MC-dropout (``gqa_dropout.py:99-118``): average max-sigmoid over
-    stochastic forward passes, label from the first pass.
+    """MC-dropout (``gqa_dropout.py:92-118``): answer = majority vote of
+    the per-pass argmaxes, score = mean of per-pass max-sigmoid.
 
     The reference loops over seeds re-enabling dropout modules; here the
     stochastic passes are a ``vmap`` over dropout rngs — one compiled
-    program, batched over the seed axis.
+    program, batched over the seed axis.  Vote ties break toward the first
+    pass's answer (the reference's ``Counter.most_common`` insertion-order
+    behavior), then toward the lower class index.
     """
     seeds = jnp.asarray(list(seed_list), jnp.uint32)
 
@@ -128,8 +130,12 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
             return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
         probs = jax.vmap(one_pass)(seeds)  # (S, B, A)
+        labels = jnp.argmax(probs, axis=-1)  # (S, B)
+        num_answers = probs.shape[-1]
+        votes = jnp.sum(jax.nn.one_hot(labels, num_answers), axis=0)  # (B, A)
+        votes = votes + 0.5 * jax.nn.one_hot(labels[0], num_answers)
         return {
-            "label": jnp.argmax(probs[0], axis=-1),
+            "label": jnp.argmax(votes, axis=-1),
             "score": jnp.mean(jnp.max(probs, axis=-1), axis=0),
         }
 

@@ -150,6 +150,7 @@ def make_train_step(
     m_out: float = 0.0,
     branched: bool = False,
     weighted: bool = False,
+    weighted_rp: bool = False,
     binary: bool = False,
     grad_clip: float = 5.0,
     donate: bool = True,
@@ -161,7 +162,40 @@ def make_train_step(
     (``gqa_conf.py:204-215``).
     """
 
+    def weighted_rp_loss(params, batch, rng):
+        """CLIP-weighted RP (``gqa_weight.py:130-245``): anchor images paired
+        with questions rolled by the host-chosen ``neg_shift`` (so the host
+        could compute similarity weights for exactly these pairs); loss =
+        0.5 * (pos BCE + similarity-weighted negative BCE)."""
+        r1, r2 = jax.random.split(rng)
+        out_pos = forward(params, batch, deterministic=False, rng=r1)
+        lp = out_pos["logits"].astype(jnp.float32)
+        k = lp.shape[-1]
+        loss_pos = jnp.mean(optax_sigmoid_bce(lp, batch["target"])) * k
+
+        neg = dict(batch)
+        shift = batch["neg_shift"]
+        for key in ("input_ids", "input_mask", "segment_ids", "token_ids"):
+            if key in batch:
+                neg[key] = jnp.roll(batch[key], shift, axis=0)
+        out_neg = forward(params, neg, deterministic=False, rng=r2)
+        ln = out_neg["logits"].astype(jnp.float32)
+        per_row = jnp.mean(
+            optax_sigmoid_bce(ln, jnp.zeros_like(ln)), axis=-1
+        ) * k
+        w = batch["neg_weights"].astype(jnp.float32)
+        loss_neg = jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1e-8)
+        total = 0.5 * (loss_pos + loss_neg)
+        probs = jax.nn.sigmoid(lp)
+        return total, {
+            "loss": total,
+            "score": jnp.max(probs, axis=-1),
+            "label": jnp.argmax(probs, axis=-1),
+        }
+
     def loss_fn(params, batch, rng):
+        if weighted_rp:
+            return weighted_rp_loss(params, batch, rng)
         drop_rng, aug_rng = jax.random.split(rng)
         if sample_pair:
             batch = rp_augment(batch, aug_rng)

@@ -243,3 +243,32 @@ class TestNlvr2:
         out = model.apply({"params": params}, ids, mask, seg, feats, boxes)
         assert out["logits"].shape == (3, 2)
         assert out["pooled"].shape == (3, 64)
+
+
+class TestWeightStrategy:
+    def test_clip_weighted_rp_trains(self, synth_root, tmp_path):
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, strategy="weight",
+                optim=OptimConfig(lr=1e-3), use_bf16=False,
+            ),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "snap_w"),
+        )
+        runner = GQARunner(cfg)
+        history = runner.train()
+        assert np.isfinite(history["loss"][-1])
+
+    def test_weighted_rp_step_semantics(self):
+        from rgqa_tpu.train.step import make_train_step
+
+        forward, params, batch = _init_tiny()
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_train_step(forward, weighted_rp=True, donate=False)
+        b = dict(batch)
+        b["neg_shift"] = jnp.asarray(1, jnp.int32)
+        b["neg_weights"] = jnp.asarray([0.25] * 4, jnp.float32)
+        state, aux = step(state, b, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
