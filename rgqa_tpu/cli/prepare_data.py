@@ -26,7 +26,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("--tsv", required=True, help="bottom-up-attention TSV")
     p.add_argument("--json_dir", required=True, help="dir with split JSONs + ans2label")
-    p.add_argument("--vocab", required=True, help="WordPiece vocab.txt (BERT)")
+    p.add_argument(
+        "--vocab", required=True,
+        help="WordPiece vocab.txt (bert-base-uncased for LXMERT; the "
+        "reference's UNITER path uses the bert-base-CASED vocab while "
+        "still lowercasing input — uniter/entry.py:69-70 — so pass the "
+        "cased vocab for UNITER parity)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--topk", type=int, default=None, help="limit images (--tiny/--fast)")
     p.add_argument("--num_boxes", type=int, default=36)

@@ -193,9 +193,13 @@ class Nlvr2Runner:
         return float(np.mean([preds[u] == gold[u] for u in preds]))
 
     def dump_csv(self, split: str, path: str) -> None:
-        """Reference submission format: ``uid,{True|False}``
-        (``nlvr2.py:120-133``)."""
+        """Reference submission format: ``identifier,{True|False}``
+        (``nlvr2.py:150-156``; falls back to uid when the row carries no
+        ``identifier``)."""
+        encoded = self.splits[split]
+        uid2row = {r["uid"]: r for r in encoded.rows}
         preds = self.predict(split)
         with open(path, "w") as f:
             for uid, p in preds.items():
-                f.write(f"{uid},{'True' if p else 'False'}\n")
+                ident = uid2row[uid].get("identifier", uid)
+                f.write(f"{ident},{'True' if p else 'False'}\n")
