@@ -141,8 +141,10 @@ class EncodedGQA:
         drop_missing_images: bool = True,
         image2caps: Optional[Mapping[str, Sequence[str]]] = None,
         keep_uq_target: bool = False,
+        image_source=None,  # GQAImageSource for pixel backbones (ViLT/CLIP)
     ):
         self.keep_uq_target = keep_uq_target
+        self.image_source = image_source
         self.dataset = dataset
         self.features = features
         self.backbone = backbone
@@ -226,8 +228,14 @@ class EncodedGQA:
             batch["input_mask"] = self.input_mask[idx]
             batch["segment_ids"] = self.segment_ids[idx]
         rows = self.img_row[idx]
-        batch["feats"] = np.asarray(self.features.features[rows], np.float32)
-        batch["boxes"] = self.img_boxes[rows]
+        if self.backbone == "vilt":
+            from rgqa_tpu.data.images import load_image_batch
+
+            ids = [self.features.img_ids[r] for r in rows]
+            batch["pixels"] = load_image_batch(self.image_source, ids)
+        else:
+            batch["feats"] = np.asarray(self.features.features[rows], np.float32)
+            batch["boxes"] = self.img_boxes[rows]
         if with_target:
             target = build_targets(
                 self.label_idx[idx], self.label_score[idx], self.num_answers

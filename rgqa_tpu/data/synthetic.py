@@ -203,6 +203,24 @@ def make_synthetic_gqa(
     with open(os.path.join(feat_dir, "img_ids.json"), "w") as f:
         json.dump(img_ids, f)
 
+    # Raw JPEGs for the ViLT / CLIP paths (reference keeps GQA images in a
+    # separate image root): small images whose mean color encodes the
+    # dominant answer so the patch models see signal.
+    try:
+        from PIL import Image
+
+        img_dir = os.path.join(root, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        for i, img_id in enumerate(img_ids):
+            base = rng.integers(0, 60, (32, 32, 3)).astype(np.uint8)
+            hue = (dominant[i] * 37) % 256
+            base[..., 0] = np.clip(base[..., 0] + hue, 0, 255)
+            Image.fromarray(base).resize((64, 64)).save(
+                os.path.join(img_dir, f"{img_id}.jpg")
+            )
+    except ImportError:
+        pass
+
     # Captions for the Q-C matcher (reference data/gqa/image2caps.json).
     image2caps = {
         img_id: [f"a photo of the {img2answer[i]}"]

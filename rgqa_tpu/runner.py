@@ -144,11 +144,19 @@ class GQARunner:
 
     def _encode(self, ds: GQADataset) -> EncodedGQA:
         image2caps = None
+        image_source = None
         if self.cfg.model.backbone == "caps":
             with open(
                 os.path.join(self.cfg.data.data_root, "image2caps.json")
             ) as f:
                 image2caps = json.load(f)
+        if self.cfg.model.backbone == "vilt":
+            from rgqa_tpu.data.images import GQAImageSource
+
+            image_source = GQAImageSource(
+                os.path.join(self.cfg.data.data_root, "images"),
+                size=self.cfg.model.vilt_image_size,
+            )
         return EncodedGQA(
             ds,
             self.features,
@@ -158,6 +166,7 @@ class GQARunner:
             butd_word2idx=self.butd_word2idx,
             image2caps=image2caps,
             keep_uq_target=self.cfg.model.uq_as_class,
+            image_source=image_source,
         )
 
     def _init_params(self):

@@ -52,3 +52,37 @@ class TestVilt:
         jb2["input_mask"] = jb["input_mask"].at[:, 3:].set(0)
         masked = forward(params, jb2, deterministic=True)["logits"]
         assert not np.allclose(np.asarray(full), np.asarray(masked))
+
+
+class TestViltEndToEnd:
+    def test_runner_train_and_eval(self, tmp_path):
+        import numpy as _np
+
+        from rgqa_tpu.config import (
+            DataConfig, ModelConfig, OptimConfig, RunConfig, TrainConfig,
+        )
+        from rgqa_tpu.data import GQADataset, SyntheticSpec, make_synthetic_gqa
+        from rgqa_tpu.runner import GQARunner
+
+        root = str(tmp_path / "gqa")
+        make_synthetic_gqa(
+            root, SyntheticSpec(n_images=12, n_train=32, n_valid=8, n_testdev=16)
+        )
+        cfg = RunConfig(
+            model=ModelConfig(
+                backbone="vilt", encoder=ENC, max_text_len=6,
+                vilt_patch_size=16, vilt_image_size=64,
+            ),
+            train=TrainConfig(
+                batch_size=8, epochs=1, optim=OptimConfig(lr=1e-3),
+                use_bf16=False,
+            ),
+            data=DataConfig(data_root=root, synthetic=True),
+            output=str(tmp_path / "snap"),
+        )
+        runner = GQARunner(cfg)
+        history = runner.train()
+        assert _np.isfinite(history["loss"][-1])
+        ds = GQADataset(root, "testdev", add_uq=True)
+        res = runner.ood_evaluate(runner._encode(ds))
+        assert "auaf" in res
