@@ -128,6 +128,19 @@ class PackedFeatures:
     def __contains__(self, img_id: str) -> bool:
         return img_id in self.index
 
+    def truncate(self, topk: int) -> "PackedFeatures":
+        """A view over the first ``topk`` images — the ``--tiny`` (512) /
+        ``--fast`` (5000) smoke modes (reference ``gqa_data.py:21-22``)."""
+        if topk >= len(self.img_ids):
+            return self
+        view = object.__new__(PackedFeatures)
+        view.directory = self.directory
+        view.img_ids = self.img_ids[:topk]
+        view.index = {img_id: i for i, img_id in enumerate(view.img_ids)}
+        for name in self.ARRAYS:
+            setattr(view, name, getattr(self, name)[:topk])
+        return view
+
     def row(self, img_id: str) -> dict:
         i = self.index[img_id]
         return {

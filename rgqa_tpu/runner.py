@@ -66,6 +66,12 @@ class GQARunner:
             make_synthetic_gqa(root)
 
         self.features = PackedFeatures(os.path.join(root, "features"))
+        # --tiny / --fast smoke modes (reference TINY/FAST_IMG_NUM,
+        # gqa_data.py:21-22): restrict to the first 512 / 5000 images.
+        if data.tiny:
+            self.features = self.features.truncate(512)
+        elif data.fast:
+            self.features = self.features.truncate(5000)
         self.tokenizer = WordPieceTokenizer(
             load_vocab(os.path.join(root, "vocab.txt"))
         )

@@ -109,3 +109,18 @@ class TestBuildTargets:
         np.testing.assert_allclose(
             t, [[1.0, 0.0, 0.5, 0.0], [0.0, 0.3, 0.0, 0.0]]
         )
+
+
+class TestTinyFast:
+    def test_truncated_view(self, synth):
+        from rgqa_tpu.data import PackedFeatures
+
+        feats = PackedFeatures(synth["features"])
+        view = feats.truncate(4)
+        assert len(view) == 4
+        assert view.features.shape[0] == 4
+        # Full view unaffected; truncate beyond size is a no-op.
+        assert len(feats) == 16
+        assert feats.truncate(99) is feats
+        row = view.row(view.img_ids[1])
+        np.testing.assert_array_equal(row["features"], feats.row(feats.img_ids[1])["features"])
