@@ -278,6 +278,7 @@ class GQARunner:
                 m_out=tcfg.m_out,
                 branched=cfg.model.branched or cfg.model.branched_layers,
                 binary=tcfg.strategy in ("separate", "caption"),
+                uq_as_class=cfg.model.uq_as_class,
                 grad_clip=tcfg.optim.grad_clip,
             )
 

@@ -77,7 +77,15 @@ def rp_augment(batch: dict, rng: jax.Array) -> dict:
     return out
 
 
-def mixup_augment(batch: dict, rng: jax.Array, alpha: float, beta: float, mode: str) -> dict:
+def mixup_augment(
+    batch: dict,
+    rng: jax.Array,
+    alpha: float,
+    beta: float,
+    mode: str,
+    *,
+    uq_as_class: bool = False,
+) -> dict:
     """Mixup-RoI pseudo-UQ augmentation (reference ``gqa_mixup_vis.py``).
 
     RoI-level *swap*, not convex blending (``:134-181``): per appended row,
@@ -96,10 +104,45 @@ def mixup_augment(batch: dict, rng: jax.Array, alpha: float, beta: float, mode: 
     """
     out = dict(batch)
     text_keys = [k for k in ("input_ids", "input_mask", "segment_ids", "token_ids") if k in batch]
-    for k in text_keys:
-        out[k] = jnp.concatenate([batch[k], batch[k]], 0)
     feats, boxes, target = batch["feats"], batch["boxes"], batch["target"]
     b, n = feats.shape[:2]
+
+    if mode.startswith("treemix"):
+        # Language mixup (gqa_mixup_lang.py): splice a partner question's
+        # token window into the anchor question; vision unchanged.
+        prop_rng, pos_rng, roll_rng = jax.random.split(rng, 3)
+        prop = jax.random.beta(prop_rng, alpha, beta, (b,))
+        ids = batch["input_ids"]
+        t = ids.shape[1]
+        shift = jax.random.randint(roll_rng, (), 1, b)
+        span = jnp.floor(prop * (t - 2)).astype(jnp.int32)  # keep [CLS]/[SEP]
+        start = 1 + (
+            jax.random.uniform(pos_rng, (b,))
+            * jnp.maximum(t - 2 - span, 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        pos = jnp.arange(t)[None, :]
+        in_span = (pos >= start[:, None]) & (pos < (start + span)[:, None])
+        mixed = {}
+        for k in text_keys:
+            partner = jnp.roll(batch[k], shift, axis=0)
+            mixed[k] = jnp.where(in_span, partner, batch[k])
+        for k in text_keys:
+            out[k] = jnp.concatenate([batch[k], mixed[k]], 0)
+        out["feats"] = jnp.concatenate([feats, feats], 0)
+        out["boxes"] = jnp.concatenate([boxes, boxes], 0)
+        if mode == "treemix_v2":
+            pet_target = jnp.zeros_like(target)
+        else:  # treemix_v1: answer mass shrinks with the swapped fraction
+            pet_target = target * (1.0 - prop)[:, None]
+        out["target"] = jnp.concatenate([target, pet_target], 0)
+        if "id_mask" in batch:
+            out["id_mask"] = jnp.concatenate(
+                [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
+            )
+        return out
+
+    for k in text_keys:
+        out[k] = jnp.concatenate([batch[k], batch[k]], 0)
 
     if mode == "perturb":
         perm_rng, _ = jax.random.split(rng)
@@ -123,7 +166,20 @@ def mixup_augment(batch: dict, rng: jax.Array, alpha: float, beta: float, mode: 
         pet_boxes = jnp.where(keep[..., None], boxes, neg_boxes)
         out["feats"] = jnp.concatenate([feats, pet_feats], 0)
         out["boxes"] = jnp.concatenate([boxes, pet_boxes], 0)
-        if mode == "mixup_v2":
+        if uq_as_class:
+            # OOD-finetune targets (gqa_ood.py:146-155): real-answer mass
+            # scales by prop; the UQ column takes 1-prop (or 1 when the
+            # anchor was already UQ) — v2 puts everything on UQ.
+            anchor_uq = target[:, -1:]
+            if mode == "mixup_v2":
+                pet_target = jnp.concatenate(
+                    [jnp.zeros_like(target[:, :-1]), jnp.ones_like(anchor_uq)], 1
+                )
+            else:
+                real = target[:, :-1] * prop[:, None]
+                uq_col = jnp.where(anchor_uq > 0, 1.0, (1.0 - prop)[:, None])
+                pet_target = jnp.concatenate([real, uq_col], 1)
+        elif mode == "mixup_v2":
             pet_target = jnp.zeros_like(target)
         else:  # mixup_v1 / mixup_v3 / legacy 'vis'
             pet_target = target * prop[:, None]
@@ -152,6 +208,7 @@ def make_train_step(
     weighted: bool = False,
     weighted_rp: bool = False,
     binary: bool = False,
+    uq_as_class: bool = False,
     grad_clip: float = 5.0,
     donate: bool = True,
 ):
@@ -200,7 +257,10 @@ def make_train_step(
         if sample_pair:
             batch = rp_augment(batch, aug_rng)
         elif mixup_mode:
-            batch = mixup_augment(batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode)
+            batch = mixup_augment(
+                batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode,
+                uq_as_class=uq_as_class,
+            )
         out = forward(params, batch, deterministic=False, rng=drop_rng)
         logits = out["logits"].astype(jnp.float32)
         if logits.ndim == 1:  # single-logit heads (caps matcher)

@@ -258,3 +258,49 @@ class TestDistributed:
 
         with _pytest.raises(ValueError):
             global_mesh(model=3)
+
+
+class TestMixupVariants:
+    def test_treemix_swaps_token_window(self):
+        from rgqa_tpu.train.step import mixup_augment
+
+        batch = example_batch(TINY_CFG, batch_size=4, seed=3, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = mixup_augment(batch, jax.random.PRNGKey(0), 2.0, 2.0, "treemix_v1")
+        assert out["input_ids"].shape[0] == 8
+        mixed = np.asarray(out["input_ids"][4:])
+        anchor = np.asarray(batch["input_ids"])
+        # Vision unchanged; each mixed token is anchor's or some partner's.
+        np.testing.assert_array_equal(np.asarray(out["feats"][4:]), np.asarray(batch["feats"]))
+        partners = [np.roll(anchor, s, axis=0) for s in range(1, 4)]
+        for i in range(4):
+            for t in range(mixed.shape[1]):
+                ok = mixed[i, t] == anchor[i, t] or any(
+                    mixed[i, t] == p[i, t] for p in partners
+                )
+                assert ok
+        # v1 target mass shrinks; v2 zeroes.
+        assert np.all(np.asarray(out["target"][4:]).sum(1) <= np.asarray(batch["target"]).sum(1) + 1e-6)
+        out2 = mixup_augment(batch, jax.random.PRNGKey(1), 2.0, 2.0, "treemix_v2")
+        np.testing.assert_array_equal(np.asarray(out2["target"][4:]), 0.0)
+
+    def test_mixup_uq_as_class_targets(self):
+        from rgqa_tpu.train.step import mixup_augment
+
+        batch = example_batch(TINY_CFG, batch_size=4, seed=4, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = mixup_augment(
+            batch, jax.random.PRNGKey(0), 2.0, 2.0, "mixup_v1", uq_as_class=True
+        )
+        pet = np.asarray(out["target"][4:])
+        orig = np.asarray(batch["target"])
+        # Appended rows: real mass = prop * orig, UQ col = 1 - prop -> the
+        # total mass is 1 for one-hot anchors.
+        np.testing.assert_allclose(pet.sum(1), 1.0, atol=1e-5)
+        assert np.all(pet[:, -1] > 0)
+        out2 = mixup_augment(
+            batch, jax.random.PRNGKey(0), 2.0, 2.0, "mixup_v2", uq_as_class=True
+        )
+        pet2 = np.asarray(out2["target"][4:])
+        np.testing.assert_allclose(pet2[:, -1], 1.0)
+        np.testing.assert_allclose(pet2[:, :-1], 0.0)
