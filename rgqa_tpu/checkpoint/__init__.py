@@ -16,7 +16,9 @@ from rgqa_tpu.checkpoint.torch_import import (
     butd_key_map,
     import_butd_gqa,
     import_lxmert_gqa,
+    import_lxmert_pretraining,
     import_uniter_gqa,
+    lxmert_pretrain_key_map,
     load_lxmert_qa,
     load_torch_state_dict,
     lxmert_key_map,
@@ -33,6 +35,8 @@ __all__ = [
     "import_uniter_gqa",
     "import_butd_gqa",
     "butd_key_map",
+    "import_lxmert_pretraining",
+    "lxmert_pretrain_key_map",
     "load_lxmert_qa",
     "lxmert_key_map",
     "uniter_key_map",

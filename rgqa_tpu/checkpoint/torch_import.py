@@ -277,6 +277,49 @@ def import_lxmert_gqa(
     return assign_into_tree(params, sd, key_map)
 
 
+def lxmert_pretrain_key_map(
+    l_layers: int = 9, x_layers: int = 5, r_layers: int = 5
+) -> list[tuple[str, tuple, bool]]:
+    """Key map for LXRTPretraining checkpoints (``model_LXRT.pth``;
+    reference ``modeling.py:889-921``): the encoder plus MLM head
+    (``cls.predictions``), matched head (``cls.seq_relationship``), visual
+    heads (``obj_predict_head``), and the 9500-answer QA head."""
+    m = lxmert_key_map(l_layers, x_layers, r_layers, answer_head=False)
+    m += _dense("cls.predictions.transform.dense", ("mlm_head", "dense"))
+    m += _ln("cls.predictions.transform.LayerNorm", ("mlm_head", "ln"))
+    m.append(("cls.predictions.bias", ("mlm_head", "bias"), False))
+    m += _dense("cls.seq_relationship", ("matched_head",))
+    m += _dense("obj_predict_head.transform.dense", ("obj_head", "dense"))
+    m += _ln("obj_predict_head.transform.LayerNorm", ("obj_head", "ln"))
+    for key in ("obj", "attr", "feat"):
+        m += _dense(
+            f"obj_predict_head.decoder_dict.{key}",
+            ("obj_head", f"decoder_{key}"),
+        )
+    m += _dense("answer_head.logit_fc.0", ("answer_head", "dense"))
+    m += _ln("answer_head.logit_fc.2", ("answer_head", "ln"))
+    m += _dense("answer_head.logit_fc.3", ("answer_head", "logits"))
+    return m
+
+
+def import_lxmert_pretraining(
+    params: Any,
+    path: str,
+    *,
+    l_layers: int = 9,
+    x_layers: int = 5,
+    r_layers: int = 5,
+) -> tuple[Any, list[str], list[str]]:
+    """Import a reference pretraining ``.pth`` into LxmertPretraining params
+    (the lxrcap match scorer's checkpoint, ``gqa_lxrcap.py``)."""
+    sd = load_torch_state_dict(path)
+    # The tied MLM decoder weight duplicates the word embedding; drop it.
+    sd.pop("cls.predictions.decoder.weight", None)
+    return assign_into_tree(
+        params, sd, lxmert_pretrain_key_map(l_layers, x_layers, r_layers)
+    )
+
+
 def butd_key_map(*, branched: bool = False) -> list[tuple[str, tuple, bool]]:
     """Key map for BUTD checkpoints (``src/butd/butd.py:107-221``).
 

@@ -1,0 +1,160 @@
+"""LXRTPretraining checkpoint import + match/MLM forward parity, and the
+answer-head transplant (load_lxmert_qa)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgqa_tpu.config import EncoderConfig, ModelConfig
+from rgqa_tpu.models.lxmert import LxmertPretraining
+from rgqa_tpu.models.zoo import example_batch
+from test_torch_import import _stub_boto3
+
+SHAPE = dict(l_layers=2, x_layers=1, r_layers=1)
+ENC = EncoderConfig(
+    hidden_size=64, num_heads=4, intermediate_size=128, vocab_size=300,
+    visual_feat_dim=48, num_objects=5, obj_vocab_size=30, attr_vocab_size=10,
+    **SHAPE,
+)
+NUM_QA = 17
+
+
+@pytest.fixture(scope="module")
+def ref_pretrain(reference_dir):
+    torch = pytest.importorskip("torch")
+    _stub_boto3()
+    sys.path.insert(0, str(reference_dir / "src"))
+    try:
+        from lxrt import modeling
+    finally:
+        sys.path.pop(0)
+    modeling.VISUAL_CONFIG.l_layers = SHAPE["l_layers"]
+    modeling.VISUAL_CONFIG.x_layers = SHAPE["x_layers"]
+    modeling.VISUAL_CONFIG.r_layers = SHAPE["r_layers"]
+    modeling.VISUAL_CONFIG.set_visual_dims(ENC.visual_feat_dim, 4)
+    # visual_loss_config is baked at VisualConfig() construction and NOT
+    # refreshed by set_visual_dims (modeling.py:158-166) — patch the head
+    # dims to the test shapes.
+    vlc = modeling.VISUAL_CONFIG.visual_loss_config
+    vlc["obj"] = (ENC.obj_vocab_size, *vlc["obj"][1:])
+    vlc["attr"] = (ENC.attr_vocab_size, *vlc["attr"][1:])
+    vlc["feat"] = (ENC.visual_feat_dim, *vlc["feat"][1:])
+    cfg = modeling.BertConfig(
+        vocab_size_or_config_json_file=ENC.vocab_size,
+        hidden_size=ENC.hidden_size,
+        num_hidden_layers=2,
+        num_attention_heads=ENC.num_heads,
+        intermediate_size=ENC.intermediate_size,
+    )
+    torch.manual_seed(0)
+    model = modeling.LXRTPretraining(
+        cfg, visual_losses="obj,attr,feat", num_answers=NUM_QA
+    )
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.02)
+    model.eval()
+    return model
+
+
+def _jax_setup(tmp_path, ref, torch):
+    torch.save(ref.state_dict(), tmp_path / "pre.pth")
+    model = LxmertPretraining(ENC, num_answers=NUM_QA)
+    cfg = ModelConfig(backbone="lxmert", encoder=ENC, max_text_len=7)
+    batch = example_batch(cfg, batch_size=3, seed=1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jb["input_ids"], jb["input_mask"], jb["segment_ids"],
+        jb["feats"], jb["boxes"],
+    )["params"]
+    from rgqa_tpu.checkpoint import import_lxmert_pretraining
+
+    params, missing, unused = import_lxmert_pretraining(
+        params, str(tmp_path / "pre.pth"), **SHAPE
+    )
+    return model, params, batch, jb, missing, unused
+
+
+class TestPretrainImportParity:
+    def test_match_and_mlm_forward_parity(self, ref_pretrain, tmp_path):
+        import torch
+
+        model, params, batch, jb, missing, unused = _jax_setup(
+            tmp_path, ref_pretrain, torch
+        )
+        assert not missing, missing[:5]
+        assert not unused, unused[:5]
+
+        out = model.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jb["input_ids"], jb["input_mask"], jb["segment_ids"],
+            jb["feats"], jb["boxes"],
+        )
+        with torch.no_grad():
+            match_t = ref_pretrain.forward_match(
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["segment_ids"], dtype=torch.long),
+                torch.tensor(batch["input_mask"], dtype=torch.long),
+                visual_feats=torch.tensor(batch["feats"]),
+                pos=torch.tensor(batch["boxes"]),
+            ).numpy()
+            (lang_out, _), pooled = ref_pretrain.bert(
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["segment_ids"], dtype=torch.long),
+                torch.tensor(batch["input_mask"], dtype=torch.long),
+                visual_feats=(
+                    torch.tensor(batch["feats"]),
+                    torch.tensor(batch["boxes"]),
+                ),
+            )
+            mlm_t, _ = ref_pretrain.cls(lang_out, pooled)
+            mlm_t = mlm_t.numpy()
+
+        np.testing.assert_allclose(
+            np.asarray(out["matched"]), match_t, rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mlm"]), mlm_t, rtol=2e-4, atol=2e-4
+        )
+
+    def test_load_lxmert_qa_transplant(self, ref_pretrain, tmp_path):
+        import torch
+
+        from rgqa_tpu.checkpoint import load_lxmert_qa
+        from rgqa_tpu.models.zoo import build_model
+
+        torch.save(ref_pretrain.state_dict(), tmp_path / "qa.pth")
+        cfg = ModelConfig(
+            backbone="lxmert", encoder=ENC, num_answers=5, max_text_len=7
+        )
+        model, forward = build_model(cfg)
+        batch = example_batch(cfg, batch_size=2, seed=0)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jb["input_ids"], jb["input_mask"], jb["segment_ids"],
+            jb["feats"], jb["boxes"],
+        )["params"]
+
+        # Pretraining vocab: ids 0..NUM_QA-1 named a0..a16; finetune vocab
+        # overlaps on 3 answers.
+        src_ans2id = {f"a{i}": i for i in range(NUM_QA)}
+        label2ans = ["a3", "zzz", "a7", "unknown", "a0"]
+        params, loaded, zeroed = load_lxmert_qa(
+            params, str(tmp_path / "qa.pth"), label2ans,
+            src_ans2id=src_ans2id, **SHAPE,
+        )
+        assert loaded == 3 and zeroed == 2
+        kernel = np.asarray(params["answer_head"]["logits"]["kernel"])
+        sd = {k: v.detach().numpy() for k, v in ref_pretrain.state_dict().items()}
+        ans_w = sd["answer_head.logit_fc.3.weight"]
+        np.testing.assert_allclose(kernel[:, 0], ans_w[3], rtol=1e-6)
+        np.testing.assert_allclose(kernel[:, 2], ans_w[7], rtol=1e-6)
+        np.testing.assert_allclose(kernel[:, 1], 0.0)
+        np.testing.assert_allclose(kernel[:, 3], 0.0)
