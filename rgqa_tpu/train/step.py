@@ -151,6 +151,20 @@ def mixup_augment(
         out["feats"] = jnp.concatenate([feats, feats], 0)
         out["boxes"] = jnp.concatenate([boxes, pet_boxes], 0)
         pet_target = jnp.zeros_like(target)
+    elif mode.startswith("weighted_sum"):
+        # Convex RoI-feature blend (gqa_distill_online.py:175-200):
+        # pet = prop * anchor + (1-prop) * partner; boxes stay the anchor's.
+        prop_rng, roll_rng = jax.random.split(rng)
+        prop = jax.random.beta(prop_rng, alpha, beta, (b, 1, 1))
+        shift = jax.random.randint(roll_rng, (), 1, b)
+        pet_feats = prop * feats + (1.0 - prop) * jnp.roll(feats, shift, 0)
+        out["feats"] = jnp.concatenate([feats, pet_feats], 0)
+        out["boxes"] = jnp.concatenate([boxes, boxes], 0)
+        prop2 = prop[:, 0, 0]
+        if mode == "weighted_sum_v2":
+            pet_target = jnp.zeros_like(target)
+        else:
+            pet_target = target * prop2[:, None]
     else:
         prop_rng, sub_rng, roll_rng = jax.random.split(rng, 3)
         prop = jax.random.beta(prop_rng, alpha, beta, (b,))

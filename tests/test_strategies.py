@@ -272,3 +272,44 @@ class TestWeightStrategy:
         b["neg_weights"] = jnp.asarray([0.25] * 4, jnp.float32)
         state, aux = step(state, b, jax.random.PRNGKey(0))
         assert np.isfinite(float(aux["loss"]))
+
+
+class TestOnlineDistill:
+    def test_step_blends_teacher_targets(self):
+        from rgqa_tpu.train.online_distill import make_online_distill_step
+
+        forward, params, batch = _init_tiny()
+        # Teacher = same architecture, different params.
+        model2, forward2 = build_model(TINY_CFG)
+        t_params = model2.init(
+            jax.random.PRNGKey(9),
+            batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+            batch["feats"], batch["boxes"],
+        )["params"]
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        step = make_online_distill_step(
+            forward, forward2, lam=0.5, mixup_mode="weighted_sum_v2",
+            donate=False,
+        )
+        new_state, aux = step(state, t_params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        before = jax.tree_util.tree_leaves(state.params)[0]
+        after = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_weighted_sum_mixup_blends(self):
+        from rgqa_tpu.train.step import mixup_augment
+
+        batch = example_batch(TINY_CFG, batch_size=4, seed=5, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = mixup_augment(batch, jax.random.PRNGKey(0), 1.0, 1.0, "weighted_sum_v1")
+        assert out["feats"].shape[0] == 8
+        # Boxes of appended rows are the anchors' (weighted_sum keeps them).
+        np.testing.assert_array_equal(
+            np.asarray(out["boxes"][4:]), np.asarray(batch["boxes"])
+        )
+        # Features are a strict convex blend (between min and max of pairs).
+        pet = np.asarray(out["feats"][4:])
+        anchor = np.asarray(batch["feats"])
+        assert not np.allclose(pet, anchor)
