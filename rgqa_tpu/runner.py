@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dataclasses import replace as dataclasses_replace
+
 from rgqa_tpu.checkpoint import (
     import_lxmert_gqa,
     import_uniter_gqa,
@@ -247,7 +249,31 @@ class GQARunner:
         profile_dir = os.environ.get("RGQA_PROFILE_DIR")
         profiled = False
 
-        if tcfg.strategy == "adv":
+        teacher_params = None
+        if tcfg.strategy == "distill_online":
+            from rgqa_tpu.train.online_distill import make_online_distill_step
+
+            assert cfg.teacher_path, "--teacher_path required for distill_online"
+            teacher = GQARunner(
+                cfg.replace(load=cfg.teacher_path, output=cfg.output + "/teacher",
+                            train=dataclasses_replace(tcfg, strategy="conf")),
+                init_train=False,
+            )
+            teacher_params = teacher.params
+            inner = make_online_distill_step(
+                self.forward,
+                teacher.forward,
+                lam=tcfg.lam,
+                mixup_mode=tcfg.mixup_mode or "mixup_v1",
+                mixup_alpha=tcfg.mixup_alpha,
+                mixup_beta=tcfg.mixup_beta,
+                grad_clip=tcfg.optim.grad_clip,
+            )
+
+            def step(state, batch, rng):
+                return inner(state, teacher_params, batch, rng)
+
+        elif tcfg.strategy == "adv":
             from rgqa_tpu.train.adversarial import AdvConfig, make_adv_train_step
 
             hidden = self.model_cfg.encoder.hidden_size

@@ -313,3 +313,28 @@ class TestOnlineDistill:
         pet = np.asarray(out["feats"][4:])
         anchor = np.asarray(batch["feats"])
         assert not np.allclose(pet, anchor)
+
+    def test_runner_distill_online(self, synth_root, tmp_path):
+        # Teacher: quick vanilla train; student: distill_online from it.
+        t_cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(batch_size=16, epochs=1, optim=OptimConfig(lr=1e-3), use_bf16=False),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "teacher"),
+        )
+        teacher = GQARunner(t_cfg)
+        teacher.train()
+
+        s_cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, strategy="distill_online",
+                mixup_mode="mixup_v1", optim=OptimConfig(lr=1e-3), use_bf16=False,
+            ),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "student"),
+            teacher_path=str(tmp_path / "teacher" / "LAST"),
+        )
+        student = GQARunner(s_cfg)
+        history = student.train()
+        assert np.isfinite(history["loss"][-1])
