@@ -13,9 +13,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
-
 __all__ = ["save_checkpoint", "load_checkpoint", "save_params", "load_params"]
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import threading
 import queue as _queue
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Iterator, Optional
 
 import numpy as np
 

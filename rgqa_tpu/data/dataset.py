@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterable, Mapping, Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 import numpy as np
 

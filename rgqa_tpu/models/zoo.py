@@ -16,7 +16,7 @@ Replaces the reference's per-driver backbone if/elif ladders
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

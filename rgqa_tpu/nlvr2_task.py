@@ -14,9 +14,7 @@ GQA's, so :class:`rgqa_tpu.runner.GQARunner` covers it by pointing
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

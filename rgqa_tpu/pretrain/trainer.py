@@ -9,7 +9,6 @@ BEST_EVAL_LOSS + per-epoch checkpoint convention (``:309-360``).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +21,6 @@ from rgqa_tpu.data import (
     GQADataset,
     PackedFeatures,
     WordPieceTokenizer,
-    batch_iterator,
-    device_prefetch,
     make_synthetic_gqa,
 )
 from rgqa_tpu.data.tokenizer import MASK, load_vocab

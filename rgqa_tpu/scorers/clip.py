@@ -14,7 +14,7 @@ similarity scorer (tests, synthetic runs), any callable
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ where recall of content words is what matters.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ The whole procedure — including the inner loop — is one jitted function
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Sequence
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Numerics-equivalent rebuild of the reference optimizer
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

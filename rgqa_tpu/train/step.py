@@ -13,8 +13,7 @@ axis; gradient all-reduce falls out of the batch sharding.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

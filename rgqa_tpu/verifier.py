@@ -101,8 +101,6 @@ class VerifierTrainer:
         return out
 
     def train(self, encoded, epochs: int = 1, batch_size: int = 16) -> list[float]:
-        import functools
-
         import jax
         import jax.numpy as jnp
 
