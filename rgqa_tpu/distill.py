@@ -18,6 +18,7 @@ them through the normal pipeline.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from typing import Mapping, Optional, Sequence
 
@@ -53,6 +54,33 @@ def sample_repaired(
             }
         )
     return out
+
+
+def stats_from_charts(chart_dir: str) -> dict[str, dict]:
+    """Cartography statistics from training chart pickles.
+
+    The reference's offline pipeline consumes per-epoch ``--chart`` dumps
+    (``gqa_distill.py:37-42``; chart rows are ``{qid: (max-score, gold
+    label, pred)}`` written by the trainer).  Mean confidence +
+    variability over epochs, majority answer over predictions.
+    """
+    import glob
+    import pickle
+
+    passes = []
+    for path in sorted(glob.glob(os.path.join(chart_dir, "epoch_*.pkl"))):
+        with open(path, "rb") as f:
+            chart = pickle.load(f)
+        passes.append(
+            {qid: (pred, float(score)) for qid, (score, _gold, pred) in chart.items()}
+        )
+    if not passes:
+        raise FileNotFoundError(f"no epoch_*.pkl charts under {chart_dir}")
+    common = set(passes[0])
+    for p in passes[1:]:
+        common &= set(p)
+    passes = [{q: p[q] for q in common} for p in passes]
+    return cartography_stats(passes)
 
 
 def cartography_stats(

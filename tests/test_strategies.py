@@ -338,3 +338,25 @@ class TestOnlineDistill:
         student = GQARunner(s_cfg)
         history = student.train()
         assert np.isfinite(history["loss"][-1])
+
+
+class TestChartStats:
+    def test_stats_from_charts(self, tmp_path):
+        import pickle
+
+        from rgqa_tpu.distill import stats_from_charts
+
+        chart_dir = tmp_path / "chart"
+        chart_dir.mkdir()
+        for epoch, conf in enumerate([0.8, 0.9]):
+            chart = {
+                "q1": (conf, {"cat": 1.0}, "cat"),
+                "q2": (0.1, {"UQ": 1.0}, "dog"),
+            }
+            with open(chart_dir / f"epoch_{epoch}.pkl", "wb") as f:
+                pickle.dump(chart, f)
+        stats = stats_from_charts(str(chart_dir))
+        assert stats["q1"]["answer"] == "cat"
+        assert abs(stats["q1"]["confidence"] - 0.85) < 1e-9
+        assert abs(stats["q1"]["variability"] - 0.05) < 1e-9
+        assert stats["q2"]["confidence"] == 0.1
