@@ -82,6 +82,28 @@ class GQADataset:
     def __len__(self) -> int:
         return len(self.data)
 
+    @classmethod
+    def from_rows(
+        cls,
+        rows: list[dict],
+        *,
+        ans2label: Mapping[str, int],
+        label2ans: Sequence[str],
+        name: str = "in_memory",
+    ) -> "GQADataset":
+        """In-memory dataset over already-loaded rows (reference
+        ``GQADataset_v2``, ``gqa_data.py:70-108``) — used by the
+        distillation candidate pipeline."""
+        ds = cls.__new__(cls)
+        ds.name = name
+        ds.splits = [name]
+        ds.data = list(rows)
+        ds.id2datum = {d["question_id"]: d for d in ds.data}
+        ds.ans2label = dict(ans2label)
+        ds.label2ans = list(label2ans)
+        ds.num_answers = len(ds.ans2label)
+        return ds
+
     @property
     def qid2label(self) -> dict[str, Mapping[str, float]]:
         return {

@@ -168,14 +168,12 @@ def build_distill_split(
 
     rng = np.random.default_rng(seed)
     cands = sample_repaired(runner.dataset.data, rng, n_candidates)
-
-    tmp = GQADataset.__new__(GQADataset)
-    tmp.name = "distill_candidates"
-    tmp.data = cands
-    tmp.id2datum = {d["question_id"]: d for d in cands}
-    tmp.ans2label = runner.dataset.ans2label
-    tmp.label2ans = runner.dataset.label2ans
-    tmp.num_answers = runner.dataset.num_answers
+    tmp = GQADataset.from_rows(
+        cands,
+        ans2label=runner.dataset.ans2label,
+        label2ans=runner.dataset.label2ans,
+        name="distill_candidates",
+    )
     encoded = runner._encode(tmp)
 
     pass_results = []

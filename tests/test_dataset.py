@@ -124,3 +124,30 @@ class TestTinyFast:
         assert feats.truncate(99) is feats
         row = view.row(view.img_ids[1])
         np.testing.assert_array_equal(row["features"], feats.row(feats.img_ids[1])["features"])
+
+
+class TestFromRows:
+    def test_in_memory_dataset(self, synth):
+        rows = [
+            {"img_id": "img00000", "question_id": "m1", "sent": "is there a dog ?"},
+        ]
+        ds = GQADataset.from_rows(
+            rows, ans2label={"a": 0, "b": 1}, label2ans=["a", "b"]
+        )
+        assert len(ds) == 1
+        assert ds.id2datum["m1"]["sent"].startswith("is there")
+        assert ds.num_answers == 2
+
+
+class TestPrefetchErrors:
+    def test_worker_exception_propagates(self):
+        from rgqa_tpu.data.batching import device_prefetch
+
+        def bad_iter():
+            yield ["q0"], {"x": np.zeros((2, 2), np.float32)}, 2
+            raise RuntimeError("boom")
+
+        it = device_prefetch(bad_iter(), None, depth=1)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
