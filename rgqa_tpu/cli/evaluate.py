@@ -36,6 +36,14 @@ def main(argv=None):
         scorer_name = "ensemble"
         ensemble_paths = cfg.load.split(",")
         cfg = cfg.replace(load=ensemble_paths[0])
+    if scorer_name in ("separate", "caption"):
+        # The detector/matcher model has a 1-logit head; the runner derives
+        # that shape from the train strategy.
+        import dataclasses
+
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, strategy=scorer_name)
+        )
 
     runner = GQARunner(cfg, init_train=scorer_name == "maha")
 
@@ -65,6 +73,27 @@ def main(argv=None):
             directory, name = os.path.split(cfg.load_lxmert.rstrip("/"))
             pre = load_checkpoint(directory or ".", name)["params"]
             results = runner.match_ood_evaluate(encoded, pre, dump=dump)
+        elif scorer_name in ("separate", "caption"):
+            # Gated evaluation: this runner scores answerability, a frozen
+            # GQA answerer (--load_gqa) supplies the answers
+            # (gqa_separate.py:200-234, gqa_caption.py:149-171).
+            import dataclasses
+
+            if not cfg.load_gqa:
+                raise SystemExit(f"--scorer {scorer_name} needs --load_gqa <ckpt>")
+            ans_model = cfg.model
+            if ans_model.backbone == "caps":
+                ans_model = dataclasses.replace(ans_model, backbone="lxmert")
+            answerer = GQARunner(
+                cfg.replace(
+                    load=cfg.load_gqa,
+                    model=ans_model,
+                    train=dataclasses.replace(cfg.train, strategy="conf"),
+                    output=cfg.output + "/answerer",
+                ),
+                init_train=False,
+            )
+            results = runner.gated_ood_evaluate(encoded, answerer, dump=dump)
         else:
             results = runner.ood_evaluate(encoded, dump=dump)
         all_results[split] = results

@@ -145,7 +145,6 @@ class EncodedGQA:
       - ``img_row``: (N,) int32 — row into the feature pack
       - ``label_idx``: (N, MAX_LABELS) int32 (-1 = empty)
       - ``label_score``: (N, MAX_LABELS) float32
-      - ``uq_mask``: (N,) float32 — 1 where the gold label is UQ
 
     Vision features stay in the memory-mapped pack; per-image boxes are
     precomputed once (normalized 4-d, or the UNITER 7-d pixel transform).
@@ -207,31 +206,38 @@ class EncodedGQA:
         )
         self.label_idx = np.full((n, MAX_LABELS), -1, np.int32)
         self.label_score = np.zeros((n, MAX_LABELS), np.float32)
-        self.uq_mask = np.zeros((n,), np.float32)
         for i, d in enumerate(data):
             label = d.get("label") or {}
             j = 0
             for ans, score in label.items():
-                if ans == UQ_ANSWER:
-                    self.uq_mask[i] = 1.0
                 if ans in dataset.ans2label and j < MAX_LABELS:
                     self.label_idx[i, j] = dataset.ans2label[ans]
                     self.label_score[i, j] = score
                     j += 1
 
-        # Precompute per-image position features once.
-        n_img = len(features)
-        if backbone == "uniter":
-            self.img_boxes = uniter_box_transform(
-                np.asarray(features.boxes)
-            ).astype(np.float32)
-        else:
-            sizes = np.asarray(features.sizes, np.float32)  # (N_img, 2) h,w
-            boxes = np.asarray(features.boxes, np.float32).copy()
-            boxes[:, :, (0, 2)] /= sizes[:, None, 1:2]
-            boxes[:, :, (1, 3)] /= sizes[:, None, 0:1]
-            self.img_boxes = np.clip(boxes, 0.0, 1.0)
-        assert self.img_boxes.shape[0] == n_img
+        # Precompute per-image position features once per *pack* (cached on
+        # the PackedFeatures object — multiple splits share the same pack).
+        kind = "uniter7" if backbone == "uniter" else "norm4"
+        cache = getattr(features, "_box_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                features._box_cache = cache
+            except AttributeError:
+                pass
+        if kind not in cache:
+            if kind == "uniter7":
+                cache[kind] = uniter_box_transform(
+                    np.asarray(features.boxes)
+                ).astype(np.float32)
+            else:
+                sizes = np.asarray(features.sizes, np.float32)  # (N, 2) h,w
+                boxes = np.asarray(features.boxes, np.float32).copy()
+                boxes[:, :, (0, 2)] /= sizes[:, None, 1:2]
+                boxes[:, :, (1, 3)] /= sizes[:, None, 0:1]
+                cache[kind] = np.clip(boxes, 0.0, 1.0)
+        self.img_boxes = cache[kind]
+        assert self.img_boxes.shape[0] == len(features)
 
     @staticmethod
     def _sent(datum: dict) -> str:

@@ -118,6 +118,10 @@ def select_distill(
     rng = rng or np.random.default_rng(0)
     aq, uq = [], []
     for cand in candidates:
+        # Candidates whose image was dropped by the feature filter
+        # (--tiny/--fast or missing rows) have no teacher scores — skip.
+        if cand["question_id"] not in stats:
+            continue
         s = stats[cand["question_id"]]
         row = {
             "img_id": cand["img_id"],

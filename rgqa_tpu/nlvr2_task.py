@@ -117,13 +117,30 @@ class Nlvr2Runner:
 
         self.forward = fwd
 
-    def _batches(self, encoded, batch_size, *, shuffle=False, rng=None):
+    def _batches(
+        self, encoded, batch_size, *, shuffle=False, rng=None,
+        drop_last=False,
+    ):
+        """Yield (uids, batch, real).  The final partial batch is padded to
+        ``batch_size`` by repeating the last row (static shapes; ``real``
+        marks valid rows) unless ``drop_last``."""
         order = np.arange(len(encoded))
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
-            yield [encoded.uids[i] for i in idx], encoded.gather_batch(idx)
+            real = len(idx)
+            if real < batch_size:
+                if drop_last:
+                    return
+                idx = np.concatenate(
+                    [idx, np.full(batch_size - real, idx[-1], idx.dtype)]
+                )
+            yield (
+                [encoded.uids[i] for i in idx[:real]],
+                encoded.gather_batch(idx),
+                real,
+            )
 
     def train(self, train_split="train", valid_split="valid") -> dict:
         tcfg = self.cfg.train
@@ -151,8 +168,9 @@ class Nlvr2Runner:
         history = {"loss": [], "valid": []}
         for epoch in range(tcfg.epochs):
             loss = float("nan")
-            for _, batch in self._batches(
-                train_set, tcfg.batch_size, shuffle=True, rng=rng
+            for _, batch, _ in self._batches(
+                train_set, tcfg.batch_size, shuffle=True, rng=rng,
+                drop_last=True,
             ):
                 key, sub = jax.random.split(key)
                 state, loss = step(state, shard_batch(self.mesh, batch), sub)
@@ -176,9 +194,9 @@ class Nlvr2Runner:
             return jnp.argmax(out["logits"].astype(jnp.float32), axis=-1)
 
         uid2pred = {}
-        for uids, batch in self._batches(encoded, min(len(encoded), 32)):
+        for uids, batch, real in self._batches(encoded, min(len(encoded), 32)):
             preds = np.asarray(infer(self.params, shard_batch(self.mesh, batch)))
-            for uid, p in zip(uids, preds):
+            for uid, p in zip(uids, preds[:real]):
                 uid2pred[uid] = int(p)
         return uid2pred
 

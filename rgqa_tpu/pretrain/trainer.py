@@ -51,7 +51,7 @@ def make_pretrain_step(
     vocab_size = model.cfg.vocab_size
     special = jnp.asarray(special_ids)
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, *, deterministic=False):
         r_m, r_w, r_o, r_d = jax.random.split(rng, 4)
         ids, mask, seg, ans = (
             batch["input_ids"], batch["input_mask"],
@@ -81,8 +81,8 @@ def make_pretrain_step(
         out = model.apply(
             {"params": params},
             ids, mask, seg, masked_feats, batch["boxes"],
-            deterministic=False,
-            rngs={"dropout": r_d},
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": r_d},
         )
         total, parts = pretrain_loss(
             out,
@@ -105,7 +105,10 @@ def make_pretrain_step(
         return new_state, parts
 
     def eval_loss(params, batch, rng):
-        return loss_fn(params, batch, rng)
+        # Dropout off; the caller passes a FIXED rng so the masking noise
+        # is identical across epochs and eval losses are comparable
+        # (BEST_EVAL_LOSS selection, lxmert_pretrain.py:355-360).
+        return loss_fn(params, batch, rng, deterministic=True)
 
     return (
         jax.jit(step, donate_argnums=(0,) if donate else ()),
@@ -222,7 +225,7 @@ class PretrainRunner:
             ):
                 total, _ = eval_loss(
                     state.params, shard_batch(self.mesh, batch),
-                    jax.random.PRNGKey(epoch),
+                    jax.random.PRNGKey(0),  # fixed: comparable across epochs
                 )
                 totals += float(total)
                 count += 1

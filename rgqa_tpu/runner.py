@@ -136,11 +136,24 @@ class GQARunner:
     # ------------------------------------------------------------------
 
     def _butd_dictionary(self, root: str) -> dict[str, int]:
-        """Word dict over all question splits (``butd/preprocess.py:54-123``)."""
+        """Word dict over all question splits (``butd/preprocess.py:54-123``).
+
+        Covers the configured splits (train/valid/test, dual-loader
+        pos/neg) plus the standard split names, so no configured question
+        tokenizes to the padding index.
+        """
         from rgqa_tpu.models.butd import butd_split
 
+        data = self.cfg.data
+        names = {"train", "valid", "testdev"}
+        for spec in (
+            data.train_splits, data.valid_splits, data.test_splits,
+            data.train_pos, data.train_neg,
+        ):
+            if spec:
+                names.update(spec.split(","))
         words: dict[str, int] = {}
-        for name in ("train", "valid", "testdev"):
+        for name in sorted(names):
             path = os.path.join(root, f"{name}.json")
             if not os.path.exists(path):
                 continue
@@ -200,21 +213,65 @@ class GQARunner:
 
     def _load_initial_weights(self):
         cfg = self.cfg
+        enc = cfg.model.encoder
         if cfg.load:
             self.load(cfg.load)
+        elif cfg.load_lxmert_qa and cfg.model.backbone == "lxmert":
+            # The reference's standard finetune init (--loadLXMERTQA,
+            # run/gqa_conf_finetune.bash): encoder + answer-head transplant
+            # by answer string from the QA-pretrained checkpoint.
+            from rgqa_tpu.checkpoint import load_lxmert_qa
+            from rgqa_tpu.pretrain.answer_table import AnswerTable
+
+            path = cfg.load_lxmert_qa
+            if not path.endswith(".pth") and os.path.exists(path + "_LXRT.pth"):
+                path = path + "_LXRT.pth"  # reference's "%s_LXRT.pth" suffix
+            table = None
+            for cand in (
+                os.path.join(cfg.data.data_root, "all_ans.json"),
+                "data/lxmert/all_ans.json",
+            ):
+                if os.path.exists(cand):
+                    table = AnswerTable(path=cand)
+                    break
+            if table is None:
+                print(
+                    "WARNING: all_ans.json not found — loading encoder + "
+                    "answer-head transform only, no per-answer transplant"
+                )
+                self.params, missing, _ = import_lxmert_gqa(
+                    np_params(self.params), path,
+                    l_layers=enc.l_layers, x_layers=enc.x_layers,
+                    r_layers=enc.r_layers, from_pretrain=True,
+                )
+            else:
+                self.params, loaded, zeroed = load_lxmert_qa(
+                    np_params(self.params), path,
+                    self.label2ans,
+                    src_ans2id=table.ans2id_map(),
+                    convert_ans=table.convert_ans,
+                    l_layers=enc.l_layers, x_layers=enc.x_layers,
+                    r_layers=enc.r_layers,
+                )
+                print(
+                    f"Loaded {loaded} answers from LXRTQA pre-training "
+                    f"and {zeroed} not"
+                )
+            self.params = shard_params(self.mesh, self.params)
         elif cfg.load_lxmert and cfg.model.backbone == "lxmert":
-            enc = cfg.model.encoder
             self.params, missing, _ = import_lxmert_gqa(
                 np_params(self.params), cfg.load_lxmert,
                 l_layers=enc.l_layers, x_layers=enc.x_layers,
                 r_layers=enc.r_layers, from_pretrain=True,
             )
             print(f"Loaded LXMERT encoder ({len(missing)} keys left at init)")
+            self.params = shard_params(self.mesh, self.params)
         elif cfg.load_lxmert and cfg.model.backbone == "uniter":
             self.params, missing, _ = import_uniter_gqa(
                 np_params(self.params), cfg.load_lxmert
             )
             print(f"Loaded UNITER encoder ({len(missing)} keys left at init)")
+            self.params = shard_params(self.mesh, self.params)
 
     # ------------------------------------------------------------------
     # Training (gqa_conf.py:140-243)

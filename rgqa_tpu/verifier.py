@@ -149,8 +149,10 @@ class VerifierTrainer:
                     pick = wrong[int(self.rng.integers(len(wrong)))] if wrong else ""
                     sents.append(fill_statement(tmpl, pick))
                     labels.append(0.0)
-                    # Negative 2: random-paired other question's statement.
-                    k = int(self.rng.integers(b))
+                    # Negative 2: random-paired other question's statement
+                    # (never the anchor itself — k == j would label the
+                    # gold statement 0 and 1 in the same batch).
+                    k = (j + int(self.rng.integers(1, b))) % b
                     other = dataset.id2datum[qids[k]]
                     o_tmpl = self._template(qids[k], other["sent"])
                     o_gold = next(iter(other.get("label") or {}), "")

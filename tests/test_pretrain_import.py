@@ -158,3 +158,66 @@ class TestPretrainImportParity:
         np.testing.assert_allclose(kernel[:, 2], ans_w[7], rtol=1e-6)
         np.testing.assert_allclose(kernel[:, 1], 0.0)
         np.testing.assert_allclose(kernel[:, 3], 0.0)
+
+
+class TestRunnerLoadLxmertQa:
+    def test_runner_wires_loadLXMERTQA(self, ref_pretrain, tmp_path):
+        """--loadLXMERTQA must transplant encoder + answer head into the
+        runner's params (the reference's standard finetune init)."""
+        import json
+        import os
+
+        import torch
+
+        from rgqa_tpu.config import (
+            DataConfig, ModelConfig, OptimConfig, RunConfig, TrainConfig,
+        )
+        from rgqa_tpu.data import SyntheticSpec, make_synthetic_gqa
+        from rgqa_tpu.runner import GQARunner
+
+        root = str(tmp_path / "gqa")
+        make_synthetic_gqa(
+            root, SyntheticSpec(n_images=8, n_train=16, n_valid=8, n_testdev=8,
+                                num_boxes=ENC.num_objects,
+                                feat_dim=ENC.visual_feat_dim)
+        )
+        torch.save(ref_pretrain.state_dict(), tmp_path / "qa_LXRT.pth")
+        # Pretraining answer vocab covering some synthetic answers.
+        with open(os.path.join(root, "trainval_label2ans.json")) as f:
+            answers = json.load(f)
+        all_ans = [{"ans": a, "dsets": ["gqa"]} for a in answers[:NUM_QA]]
+        with open(os.path.join(root, "all_ans.json"), "w") as f:
+            json.dump(all_ans, f)
+
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=ENC, max_text_len=7),
+            train=TrainConfig(batch_size=8, epochs=1, optim=OptimConfig(lr=1e-3),
+                              use_bf16=False),
+            data=DataConfig(data_root=root, synthetic=True),
+            output=str(tmp_path / "snap"),
+            load_lxmert_qa=str(tmp_path / "qa"),  # runner appends _LXRT.pth
+        )
+        runner = GQARunner(cfg)
+        # Encoder weights must equal the pretraining checkpoint's.
+        sd = {k: v.detach().numpy() for k, v in ref_pretrain.state_dict().items()}
+        word = np.asarray(
+            runner.params["lxmert"]["embeddings"]["word_embeddings"]["embedding"]
+        )
+        np.testing.assert_allclose(
+            word, sd["bert.embeddings.word_embeddings.weight"], rtol=1e-6
+        )
+        # Transplanted answer rows: column c equals pretraining row for the
+        # matching answer string; unmatched columns are zero.
+        kernel = np.asarray(runner.params["answer_head"]["logits"]["kernel"])
+        ans_w = sd["answer_head.logit_fc.3.weight"]
+        src = {a["ans"]: i for i, a in enumerate(all_ans)}
+        hits = zeros = 0
+        for col, ans in enumerate(runner.label2ans[: kernel.shape[1]]):
+            key = ans.lower()
+            if key in src:
+                np.testing.assert_allclose(kernel[:, col], ans_w[src[key]], rtol=1e-5)
+                hits += 1
+            else:
+                np.testing.assert_allclose(kernel[:, col], 0.0)
+                zeros += 1
+        assert hits > 0 and zeros > 0
