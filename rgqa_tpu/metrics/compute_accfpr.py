@@ -32,6 +32,11 @@ def main(argv=None) -> dict:
 
     qid2label = {row["question_id"]: row["label"] for row in rows}
     result = ood_evaluate(qid2label, predictions, tau=args.tau)
+    # The reference ships two ood_metrics copies that differ: the public
+    # CLI's (compute_accfpr/ood_metrics.py:103-114) omits fpr88.9 while the
+    # in-repo evaluator's (src/ood_metrics.py:108) includes it.  Match the
+    # public CLI contract here.
+    result.pop("fpr88.9", None)
     print(result)
     return result
 

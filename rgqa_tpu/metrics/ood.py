@@ -91,6 +91,7 @@ def ood_performance(gts, scores) -> dict:
     measures = {
         "fpr95": fpr_at_tpr(scores, gts, 0.95),
         "fpr81.4": fpr_at_tpr(scores, gts, 0.814),
+        "fpr88.9": fpr_at_tpr(scores, gts, 0.889),
         "auroc": auroc(scores, gts),
         "aupr_in": aupr(scores, gts),
         "aupr_out": aupr(-scores, 1.0 - gts),

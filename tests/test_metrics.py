@@ -66,7 +66,9 @@ class TestGoldenParity:
     def test_full_metric_dict_matches_reference(self, golden_example):
         qid2label, preds = golden_example
         result = ood_evaluate(qid2label, preds)
-        assert set(result) == set(GOLDEN)
+        # The evaluator matches src/ood_metrics.py, which adds fpr88.9 on
+        # top of the public CLI's key set (the CLI pops it for byte parity).
+        assert set(result) == set(GOLDEN) | {"fpr88.9"}
         for key, want in GOLDEN.items():
             assert result[key] == pytest.approx(want, rel=1e-12, abs=1e-12), key
 
@@ -193,6 +195,7 @@ class TestOODBundle:
         assert set(m) == {
             "fpr95",
             "fpr81.4",
+            "fpr88.9",
             "auroc",
             "aupr_in",
             "aupr_out",
