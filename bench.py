@@ -30,7 +30,10 @@ def main():
     cfg = ModelConfig(backbone="lxmert")
     model, forward = build_model(cfg, use_bf16=True)
 
-    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "256"))
+    # 384 is the throughput/compile-time sweet spot over the tunnel:
+    # 256 -> 10.6k q/s (~2 min wall), 384 -> 11.1k (~3.3 min),
+    # 512 -> 11.6k (~5.3 min; compile risk).
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "384"))
     host = example_batch(cfg, batch_size=batch_size, seed=0)
     host["feats"] = host["feats"].astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
@@ -53,10 +56,12 @@ def main():
     )
 
     iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
-    # Measured on v5e: XLA's fused attention beats the Pallas kernel at
-    # RGQA's tiny sequence lengths (20 text + 36 RoIs) — 8.5k vs 7.1k q/s —
-    # so XLA is the default; set RGQA_BENCH_FUSED=1 to compare.
-    use_fused = bool(os.environ.get("RGQA_BENCH_FUSED"))
+    # Default (None) auto-selects the fused Pallas attention kernel on TPU
+    # (natural-layout VMEM-resident kernel + fused QKV projections;
+    # measured 8.25k -> see BENCH history).  RGQA_BENCH_FUSED=0 forces the
+    # XLA attention path for comparison.
+    env = os.environ.get("RGQA_BENCH_FUSED")
+    use_fused = None if env is None else env not in ("0", "")
 
     import functools
 

@@ -50,7 +50,7 @@ class CaptionMatcher(nn.Module):
         segment_ids,
         *,
         deterministic: bool = True,
-        use_fused: bool = False,
+        use_fused: Optional[bool] = None,
     ) -> dict[str, Any]:
         bias = mask_to_bias(input_mask, self.dtype)
         x = self.embeddings(

@@ -97,7 +97,7 @@ class LxmertModel(nn.Module):
         img_delta: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         output_probs: bool = False,
-        use_fused: bool = False,
+        use_fused: Optional[bool] = None,
     ) -> dict[str, Any]:
         lang_bias = mask_to_bias(input_mask, self.dtype)
         visn_bias = (

@@ -101,7 +101,7 @@ class UniterModel(nn.Module):
         img_mask=None,
         *,
         deterministic: bool = True,
-        use_fused: bool = False,
+        use_fused: Optional[bool] = None,
     ) -> dict[str, Any]:
         b, n_obj = img_feats.shape[:2]
         if img_mask is None:

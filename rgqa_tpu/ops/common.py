@@ -12,9 +12,17 @@ __all__ = ["pallas_enabled", "interpret_mode"]
 
 @lru_cache(maxsize=1)
 def pallas_enabled() -> bool:
-    """Whether to use Pallas kernels (TPU backend, unless disabled)."""
+    """Whether to use Pallas kernels.
+
+    Default: on for the TPU backend, off elsewhere.  Overrides:
+    ``RGQA_DISABLE_PALLAS=1`` forces the XLA paths on TPU;
+    ``RGQA_FORCE_PALLAS=1`` runs the kernels in interpreter mode on CPU
+    (for kernel-logic tests without a chip).
+    """
     if os.environ.get("RGQA_DISABLE_PALLAS"):
         return False
+    if os.environ.get("RGQA_FORCE_PALLAS"):
+        return True
     return jax.default_backend() == "tpu"
 
 

@@ -1,0 +1,135 @@
+"""Fused-attention kernel tests (Pallas interpreter mode on CPU).
+
+The Pallas kernel never runs by default on CPU (``pallas_enabled()`` is
+backend-gated); these tests call the raw kernel directly in interpreter
+mode and pin it against the XLA numerics reference, including masking and
+the custom-VJP gradient path used by the ODIN/Mahalanobis scorers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgqa_tpu.ops.attention import (
+    _attention_natural_xla,
+    _fused,
+    _fused_pallas_raw,
+    fused_attention,
+)
+
+H = 4
+D = 16
+E = H * D
+
+
+def _inputs(b=6, sq=5, skv=9, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, sq, E), dtype)
+    k = jax.random.normal(ks[1], (b, skv, E), dtype)
+    v = jax.random.normal(ks[2], (b, skv, E), dtype)
+    mask = (jax.random.uniform(ks[3], (b, skv)) > 0.3).astype(jnp.float32)
+    bias = (1.0 - mask) * -10000.0
+    return q, k, v, bias
+
+
+class TestFusedAttentionKernel:
+    def test_matches_xla_reference(self):
+        q, k, v, bias = _inputs()
+        ref = _attention_natural_xla(q, k, v, bias, H)
+        out = _fused_pallas_raw(q, k, v, bias, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_batch_padding(self):
+        # batch not a multiple of the kernel's batch block
+        q, k, v, bias = _inputs(b=19)
+        ref = _attention_natural_xla(q, k, v, bias, H)
+        out = _fused_pallas_raw(q, k, v, bias, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_fully_masked_rows_finite(self):
+        q, k, v, _ = _inputs(b=4)
+        bias = jnp.full((4, 9), -10000.0)  # everything masked
+        out = _fused_pallas_raw(q, k, v, bias, H)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_gradients_match_xla(self):
+        # ODIN/Mahalanobis take grads w.r.t. inputs through the kernel.
+        q, k, v, bias = _inputs(b=4)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(jnp.square(_fused(q, k, v, bias, H)))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(jnp.square(_attention_natural_xla(q, k, v, bias, H)))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_dispatch_force_xla(self):
+        q, k, v, bias = _inputs(b=3)
+        # 4-D broadcastable bias form accepted too
+        out4 = fused_attention(
+            q, k, v, bias[:, None, None, :], num_heads=H, force_xla=True
+        )
+        out2 = fused_attention(q, k, v, bias, num_heads=H, force_xla=True)
+        np.testing.assert_allclose(np.asarray(out4), np.asarray(out2))
+
+    def test_bfloat16_io(self):
+        q, k, v, bias = _inputs(b=4, dtype=jnp.bfloat16)
+        ref = _attention_natural_xla(q, k, v, bias, H)
+        out = _fused_pallas_raw(q, k, v, bias, H)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+
+class TestAttentionBlockFusion:
+    """The fused-QKV AttentionBlock must be numerically identical to the
+    unfused reference semantics (same params, same math)."""
+
+    def test_self_vs_cross_param_shapes(self):
+        from rgqa_tpu.config import EncoderConfig
+        from rgqa_tpu.models.transformer import AttentionBlock, mask_to_bias
+
+        cfg = EncoderConfig(hidden_size=E, num_heads=H, intermediate_size=64)
+        blk = AttentionBlock(cfg)
+        x = jnp.ones((2, 5, E))
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        assert params["query"]["kernel"].shape == (E, E)
+        assert params["out"]["bias"].shape == (E,)
+
+        mask = jnp.ones((2, 5))
+        out, _ = blk.apply({"params": params}, x, bias=mask_to_bias(mask))
+        assert out.shape == (2, 5, E)
+
+        # cross-attention against a different-length context
+        kv = jnp.ones((2, 9, E))
+        out, _ = blk.apply(
+            {"params": params}, x, kv=kv,
+            bias=mask_to_bias(jnp.ones((2, 9))),
+        )
+        assert out.shape == (2, 5, E)
+
+    def test_fused_path_matches_probs_path(self):
+        # The explicit-probs path (dropout/viz) is independent math from
+        # the fused path; with deterministic dropout they must agree.
+        from rgqa_tpu.config import EncoderConfig
+        from rgqa_tpu.models.transformer import AttentionBlock, mask_to_bias
+
+        cfg = EncoderConfig(hidden_size=E, num_heads=H, intermediate_size=64)
+        blk = AttentionBlock(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, E))
+        bias = mask_to_bias(jnp.ones((3, 5)))
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        fast, _ = blk.apply({"params": params}, x, bias=bias)
+        slow, probs = blk.apply(
+            {"params": params}, x, bias=bias, output_probs=True
+        )
+        assert probs.shape == (3, H, 5, 5)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(slow), atol=1e-5
+        )
