@@ -1,0 +1,117 @@
+"""Rejection-scorer throughput benchmark on one TPU chip.
+
+Applies bench.py's chained-dispatch treatment (``lax.scan`` inside one
+jitted program, single host fetch) to the paper's headline rejection
+paths: MSP, Energy, ODIN (grad-at-eval), Mahalanobis (grad-at-eval +
+Gaussian scores over 1842 classes), and 5-pass MC-dropout.
+
+Prints ONE JSON line: ``{"unit": "questions/sec/chip", "batch": N,
+"msp": ..., "energy": ..., "odin": ..., "maha": ..., "dropout": ...}``.
+
+Reference counterparts: ``src/tasks/gqa_conf.py:297-333`` (MSP),
+``gqa_energy.py:204-206``, ``gqa_odin.py:93-135``, ``gqa_maha.py:191-274``,
+``gqa_dropout.py:92-118``.  North-star: >= 4k q/s/chip (BASELINE.md) for
+the single-pass and grad-at-eval scorers.
+
+Env: RGQA_BENCH_BATCH (default 384), RGQA_BENCH_ITERS (default 8),
+RGQA_BENCH_SCORERS (comma list to subset, e.g. "msp,odin").
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from rgqa_tpu.config import ModelConfig
+    from rgqa_tpu.models.zoo import build_model, example_batch
+    from rgqa_tpu.scorers.core import (
+        make_dropout_scorer,
+        make_energy_scorer,
+        make_msp_scorer,
+        make_odin_scorer,
+    )
+    from rgqa_tpu.scorers.maha import MahaEstimator, make_maha_scorer
+
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "384"))
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))
+    which = os.environ.get(
+        "RGQA_BENCH_SCORERS", "msp,energy,odin,maha,dropout"
+    ).split(",")
+
+    cfg = ModelConfig(backbone="lxmert")
+    model, forward = build_model(cfg, use_bf16=True)
+    host = example_batch(cfg, batch_size=batch_size, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][:2],
+        batch["input_mask"][:2],
+        batch["segment_ids"][:2],
+        batch["feats"][:2],
+        batch["boxes"][:2],
+    )["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+
+    # Synthetic Mahalanobis estimator at full RGQA scale (1842 x 768).
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((cfg.encoder.hidden_size, cfg.encoder.hidden_size))
+    est = MahaEstimator(
+        class_mean=jnp.asarray(
+            rng.standard_normal(
+                (cfg.num_answers, cfg.encoder.hidden_size)
+            ).astype(np.float32)
+        ),
+        precision=jnp.asarray((a @ a.T / a.shape[0]).astype(np.float32)),
+    )
+
+    scorers = {
+        "msp": lambda: make_msp_scorer(forward),
+        "energy": lambda: make_energy_scorer(forward),
+        "odin": lambda: make_odin_scorer(forward, temperature=1e5, noise=1e-4),
+        "maha": lambda: make_maha_scorer(forward, est, noise=1e-4),
+        "dropout": lambda: make_dropout_scorer(forward, seed_list=range(5)),
+    }
+
+    results = {"unit": "questions/sec/chip", "batch": batch_size}
+    for name in which:
+        score_fn = scorers[name]()
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def score_n(params, batch, carry, n, score_fn=score_fn):
+            def body(carry, _):
+                b = dict(batch)
+                b["input_ids"] = batch["input_ids"] + (
+                    carry[:, None] % 2
+                ).astype(jnp.int32)
+                out = score_fn(params, b)
+                return out["label"].astype(jnp.int32), None
+
+            carry, _ = jax.lax.scan(body, carry, None, length=n)
+            return carry
+
+        carry = jnp.zeros((batch_size,), jnp.int32)
+        # warmup/compile; axon needs a host transfer to really sync
+        np.asarray(score_n(params, batch, carry, iters))
+        start = time.perf_counter()
+        np.asarray(score_n(params, batch, carry, iters))
+        elapsed = time.perf_counter() - start
+        results[name] = round(batch_size * iters / elapsed, 1)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,8 @@ Rebuild of the reference NLVR2 pipeline (``src/tasks/nlvr2.py`` /
 two-image LXMERT (``rgqa_tpu.models.nlvr2``) trained with 2-way CE and
 evaluated by exact accuracy (``nlvr2.py:106-133``).
 
-The VQA task (``src/tasks/vqa.py``) needs no separate driver here: its
-data contract (question JSON + TSV features + soft labels) is identical to
-GQA's, so :class:`rgqa_tpu.runner.GQARunner` covers it by pointing
-``data_root`` at VQA-format data.
+The VQA task lives in :mod:`rgqa_tpu.vqa_task` (its own driver with the
+VQA evaluator/dump semantics); this module covers NLVR2 only.
 """
 
 from __future__ import annotations

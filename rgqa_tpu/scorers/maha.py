@@ -84,29 +84,28 @@ def fit_estimator(
     )
 
 
-def _gaussian_scores(outputs, mean, precision, *, class_block: int = 128):
+def _gaussian_scores(outputs, mean, precision):
     """(B, C) scores: -0.5 * (f - mu_c)^T P (f - mu_c) per class.
 
-    The reference loops classes with two matmuls each
-    (``gqa_maha.py:229-236``).  The closed form
-    ``fPf - 2 fPmu + muPmu`` is cheaper but cancels catastrophically in
-    f32, so this computes the exact centered form over class *blocks*
-    (``lax.map``): each block is one (B*blk, D) x (D, D) matmul — MXU
-    shaped — at f32-exact parity with the reference.
+    The reference loops classes with two (B, D) x (D, D) matmuls each —
+    O(B·C·D²) (``gqa_maha.py:229-236``); at RGQA scale (C=1842, D=768)
+    that is ~560 GFLOP per batch-256, 50x the model forward itself.  The
+    expanded quadratic form ``fPf - 2 fPmu + muPmu`` is algebraically
+    identical at O(B·D² + B·C·D + C·D²) — 250x fewer FLOPs — but cancels
+    in f32 when the magnitudes of the three terms dwarf their difference.
+    Centering both features and class means on the grand mean of the
+    class means shrinks those magnitudes to the intra-class scale, which
+    keeps f32 round-off orders below the inter-class score gaps (pinned
+    against the per-class loop in ``tests/test_scorers.py``).
     """
-    c, d = mean.shape
-    pad = (-c) % class_block
-    mean_p = jnp.pad(mean, ((0, pad), (0, 0)))
-    blocks = mean_p.reshape(-1, class_block, d)
-
-    def one_block(mu_blk):
-        z = outputs[:, None, :] - mu_blk[None, :, :]  # (B, blk, D)
-        zP = jnp.einsum("bcd,de->bce", z, precision)
-        return -0.5 * jnp.sum(zP * z, axis=-1)  # (B, blk)
-
-    scores = jax.lax.map(one_block, blocks)  # (n_blk, B, blk)
-    scores = jnp.moveaxis(scores, 0, 1).reshape(outputs.shape[0], -1)
-    return scores[:, :c]
+    mu_bar = jnp.mean(mean, axis=0)
+    f = outputs - mu_bar[None, :]  # (B, D)
+    m = mean - mu_bar[None, :]  # (C, D)
+    fP = f @ precision  # (B, D)
+    quad_f = jnp.sum(fP * f, axis=-1)  # (B,)
+    cross = fP @ m.T  # (B, C)
+    quad_m = jnp.sum((m @ precision) * m, axis=-1)  # (C,)
+    return -0.5 * (quad_f[:, None] - 2.0 * cross + quad_m[None, :])
 
 
 def make_maha_scorer(

@@ -1,0 +1,6 @@
+# VQA test-split submission dump (reference run/vqa_test.bash --test test)
+DATA_ROOT=${DATA_ROOT:-data/vqa}
+OUTPUT=${OUTPUT:-snap/vqa}
+LOAD=${LOAD:-$OUTPUT/vanilla/BEST}
+python -m rgqa_tpu.cli.vqa --backbone lxmert --data_root $DATA_ROOT \
+  --test test --load $LOAD --output $OUTPUT/vanilla "$@"

@@ -104,7 +104,7 @@ class TestJittableScorers:
         out = make_scorer("maha", forward, estimator=est)(params, batch)
         _check(out)
         # Without input perturbation, Gaussian scores are <= 0.
-        assert np.asarray(out["score"]).max() <= 1e-4
+        assert np.asarray(out["score"]).max() <= 1e-3  # expanded-form f32 round-off (maha.py:_gaussian_scores)
         noised = make_scorer("maha", forward, estimator=est, noise=1e-3)(
             params, batch
         )
