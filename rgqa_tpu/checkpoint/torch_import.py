@@ -26,8 +26,10 @@ __all__ = [
     "load_torch_state_dict",
     "import_lxmert_gqa",
     "import_uniter_gqa",
+    "import_vilt_gqa",
     "lxmert_key_map",
     "uniter_key_map",
+    "vilt_key_map",
     "assign_into_tree",
 ]
 
@@ -445,3 +447,81 @@ def import_uniter_gqa(
         answer_head=any(k.startswith("logit_fc") for k in sd),
     )
     return assign_into_tree(params, sd, key_map)
+
+
+def vilt_key_map(num_layers: int = 12) -> list[tuple[str, tuple, bool]]:
+    """Key map for reference GQAViLT checkpoints (``src/vilt/vilt.py:8-44``
+    over the vendored timm ViT-B/32, ``src/vilt/modules/
+    vision_transformer.py``).
+
+    Expects the fused ``attn.qkv`` tensors to have been pre-split into
+    ``attn.{query,key,value}`` by :func:`import_vilt_gqa`.
+    """
+    m: list[tuple[str, tuple, bool]] = []
+    m += _embeddings("text_embeddings", ("text_embeddings",))
+    # GQAViLT's own modality token-type table (vilt.py:28-29).
+    m.append(
+        ("token_type_embeddings.weight", ("modality_type", "embedding"), False)
+    )
+    m.append(("transformer.cls_token", ("cls_token",), False))
+    m.append(("transformer.pos_embed", ("pos_embed",), False))
+    # Conv2d weight (out, in, kh, kw) -> flax Conv kernel (kh, kw, in, out):
+    # handled with a custom transpose marker below (import_vilt_gqa).
+    m.append(
+        ("transformer.patch_embed.proj.weight#conv",
+         ("patch_embed", "proj", "kernel"), False)
+    )
+    m.append(
+        ("transformer.patch_embed.proj.bias",
+         ("patch_embed", "proj", "bias"), False)
+    )
+    for i in range(num_layers):
+        t = f"transformer.blocks.{i}"
+        f = (f"block_{i}",)
+        m += _ln(f"{t}.norm1", f + ("norm1",))
+        for name in ("query", "key", "value"):
+            m += _dense(f"{t}.attn.{name}", f + (name,))
+        m += _dense(f"{t}.attn.proj", f + ("att_out",))
+        m += _ln(f"{t}.norm2", f + ("norm2",))
+        m += _dense(f"{t}.mlp.fc1", f + ("mlp_in",))
+        m += _dense(f"{t}.mlp.fc2", f + ("mlp_out",))
+    m += _ln("transformer.norm", ("norm",))
+    m += _dense("pooler.dense", ("pooler", "dense"))
+    m += _dense("vqa_classifier.0", ("answer_head", "dense"))
+    m += _ln("vqa_classifier.1", ("answer_head", "ln"))
+    m += _dense("vqa_classifier.3", ("answer_head", "logits"))
+    return m
+
+
+def import_vilt_gqa(
+    params: Any, path: str, *, num_layers: int = 12
+) -> tuple[Any, list[str], list[str]]:
+    """Import a reference GQAViLT ``.pth`` into ViltForGQA params.
+
+    Handles the two layout differences a plain key map cannot express:
+    the vendored timm blocks use one fused ``attn.qkv`` Linear (2304 rows
+    split here into query/key/value), and the patch-embedding Conv2d
+    weight is (out, in, kh, kw) in torch vs (kh, kw, in, out) in flax.
+    """
+    sd = dict(load_torch_state_dict(path))
+    e = None
+    for key in list(sd):
+        if key.endswith(".attn.qkv.weight"):
+            w = sd.pop(key)  # (3E, E)
+            e = w.shape[1]
+            base = key[: -len("qkv.weight")]
+            sd[base + "query.weight"] = w[:e]
+            sd[base + "key.weight"] = w[e : 2 * e]
+            sd[base + "value.weight"] = w[2 * e :]
+        elif key.endswith(".attn.qkv.bias"):
+            b = sd.pop(key)
+            e = b.shape[0] // 3
+            base = key[: -len("qkv.bias")]
+            sd[base + "query.bias"] = b[:e]
+            sd[base + "key.bias"] = b[e : 2 * e]
+            sd[base + "value.bias"] = b[2 * e :]
+        elif key == "transformer.patch_embed.proj.weight":
+            sd[key + "#conv"] = sd.pop(key).transpose(2, 3, 1, 0)
+        elif key.endswith("position_ids"):
+            sd.pop(key)  # HF BertEmbeddings buffer, not a parameter
+    return assign_into_tree(params, sd, vilt_key_map(num_layers))

@@ -59,6 +59,21 @@ def main(argv=None):
             results = runner.ensemble_ood_evaluate(
                 encoded, ensemble_paths, dump=dump
             )
+        elif scorer_name == "clip":
+            # CLIP image-question similarity (gqa_clip.py:76-110): answers
+            # from --load'ed model, confidence from a local CLIP ckpt
+            # (--clip_path) over <data_root>/images/<img_id>.jpg.
+            from rgqa_tpu.scorers.clip import ClipScorer
+
+            scorer = ClipScorer(
+                ns.clip_path or "openai/clip-vit-base-patch32"
+            )
+            results = runner.clip_ood_evaluate(
+                encoded,
+                scorer.scores,
+                os.path.join(cfg.data.data_root, "images"),
+                dump=dump,
+            )
         elif scorer_name == "frcnn":
             results = runner.coverage_ood_evaluate(
                 encoded,
@@ -81,8 +96,15 @@ def main(argv=None):
 
             if not cfg.load_gqa:
                 raise SystemExit(f"--scorer {scorer_name} needs --load_gqa <ckpt>")
+            # The answerer's backbone (reference passes --backbone butd to
+            # gqa_caption_test.bash while the matcher stays a BERT):
+            # --ans_backbone overrides; a caps matcher defaults to lxmert.
             ans_model = cfg.model
-            if ans_model.backbone == "caps":
+            if getattr(ns, "ans_backbone", None):
+                ans_model = dataclasses.replace(
+                    ans_model, backbone=ns.ans_backbone
+                )
+            elif ans_model.backbone == "caps":
                 ans_model = dataclasses.replace(ans_model, backbone="lxmert")
             answerer = GQARunner(
                 cfg.replace(

@@ -265,6 +265,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loadLXMERT", dest="load_lxmert", default=None)
     p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", default=None)
     p.add_argument("--load_gqa", default=None)
+    p.add_argument("--ans_backbone", default=None, help="answer-model backbone for gated (separate/caption) eval")
+    p.add_argument("--clip_path", default=None, help="local CLIP checkpoint dir for --scorer clip / --strategy weight")
     p.add_argument("--teacher_path", default=None)
     p.add_argument("--fromScratch", dest="from_scratch", action="store_true")
     # Pretraining tasks

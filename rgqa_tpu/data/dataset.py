@@ -201,6 +201,28 @@ class EncodedGQA:
                 tokenizer.encode_batch(sents, max_text_len)
             )
 
+        # TreeMix constituency candidates (reference keeps 'parse' strings
+        # in the rows, gqa_data.py:203-228; spliced per batch on the host,
+        # gqa_mixup_both.py:47-77).  Precomputed here ONCE into fixed-shape
+        # wordpiece-coordinate arrays so the splice runs on device.
+        # (BUTD's front-padded word-index encoding has different
+        # coordinates; treemix falls back to random windows there.)
+        self.parse_spans = None
+        self.parse_span_words = None
+        self.parse_n_words = None
+        if backbone != "butd" and image2caps is None and any(
+            d.get("parse") for d in data
+        ):
+            from rgqa_tpu.data.parse import encode_parse_spans
+
+            (
+                self.parse_spans,
+                self.parse_span_words,
+                self.parse_n_words,
+            ) = encode_parse_spans(
+                [d.get("parse") for d in data], sents, tokenizer, max_text_len
+            )
+
         self.img_row = np.asarray(
             [features.index[d["img_id"]] for d in data], np.int32
         )
@@ -255,6 +277,10 @@ class EncodedGQA:
             batch["input_ids"] = self.input_ids[idx]
             batch["input_mask"] = self.input_mask[idx]
             batch["segment_ids"] = self.segment_ids[idx]
+        if self.parse_spans is not None:
+            batch["parse_spans"] = self.parse_spans[idx]
+            batch["parse_span_words"] = self.parse_span_words[idx]
+            batch["parse_n_words"] = self.parse_n_words[idx]
         rows = self.img_row[idx]
         if self.backbone == "vilt":
             from rgqa_tpu.data.images import load_image_batch

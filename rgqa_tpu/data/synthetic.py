@@ -71,8 +71,33 @@ def _answers() -> list[str]:
     return sorted(set(_OBJECTS + _ATTRIBUTES + ["yes", "no", "1", "2", "3"]))
 
 
+def _parse_for(sent: str) -> str:
+    """A synthetic PTB-style constituency parse for a template question.
+
+    Real GQA rows ship benepar parses (reference ``gqa_data.py:203-228``);
+    for the synthetic data a simple chunking grammar suffices: words are
+    grouped into 2-word NP constituents under a flat S — enough structure
+    to exercise the TreeMix subtree machinery.
+    """
+    words = sent.split()
+    chunks = []
+    i = 0
+    while i < len(words):
+        if words[i] == "?":
+            chunks.append("(. ?)")
+            i += 1
+        elif i + 1 < len(words) and words[i + 1] != "?":
+            chunks.append(f"(NP (W {words[i]}) (W {words[i + 1]}))")
+            i += 2
+        else:
+            chunks.append(f"(W {words[i]})")
+            i += 1
+    return f"(ROOT (S {' '.join(chunks)}))"
+
+
 def _make_questions(
-    rng, n, img_ids, answers, *, uq_fraction=0.0, prefix="q", img2answer=None
+    rng, n, img_ids, answers, *, uq_fraction=0.0, prefix="q", img2answer=None,
+    with_parse=False,
 ):
     rows = []
     for i in range(n):
@@ -90,14 +115,15 @@ def _make_questions(
             label = {img2answer[img_idx]: 1.0}
         else:
             label = {answers[rng.integers(len(answers))]: 1.0}
-        rows.append(
-            {
-                "img_id": img_id,
-                "question_id": f"{prefix}{i:06d}",
-                "sent": sent,
-                "label": label,
-            }
-        )
+        row = {
+            "img_id": img_id,
+            "question_id": f"{prefix}{i:06d}",
+            "sent": sent,
+            "label": label,
+        }
+        if with_parse:
+            row["parse"] = _parse_for(sent)
+        rows.append(row)
     return rows
 
 
@@ -120,7 +146,7 @@ def make_synthetic_gqa(
     splits = {
         "train": _make_questions(
             rng, spec.n_train, img_ids, answers, prefix="tr",
-            img2answer=img2answer,
+            img2answer=img2answer, with_parse=True,
         ),
         "valid": _make_questions(
             rng, spec.n_valid, img_ids, answers, prefix="va",
@@ -151,6 +177,18 @@ def make_synthetic_gqa(
             }
         )
     splits["train_uq"] = uq_rows
+
+    # Reference split names (scripts/*/train/*.sh, scripts/*/test/*.sh use
+    # GQAUQ_* split files) aliased onto the synthetic splits so every
+    # recipe script runs against a synthetic root unmodified.
+    splits["GQAUQ_train_questions_unsup"] = splits["train"]
+    splits["GQAUQ_valid_questions_unsup"] = splits["valid"]
+    splits["GQAUQ_train_questions_unsup_hard"] = splits["train"] + uq_rows
+    splits["GQAUQ_valid_questions_unsup_hard"] = splits["valid"]
+    quarter = max(len(splits["testdev"]) // 4, 1)
+    for i, subset in enumerate(("ClipEasy", "ClipHard", "PTEasy", "PTHard")):
+        rows = splits["testdev"][i * quarter:(i + 1) * quarter]
+        splits[f"GQAUQ_testdev_questions_{subset}"] = rows or splits["testdev"][:1]
 
     for name, rows in splits.items():
         with open(os.path.join(root, f"{name}.json"), "w") as f:

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rgqa_tpu.config import EncoderConfig
-from rgqa_tpu.models.lxmert import AnswerHead
 from rgqa_tpu.models.transformer import (
     LayerNorm,
     Pooler,
@@ -36,7 +35,7 @@ from rgqa_tpu.models.transformer import (
 )
 from rgqa_tpu.ops.attention import multi_head_attention
 
-__all__ = ["ViltForGQA", "ViTBlock", "PatchEmbed"]
+__all__ = ["ViltForGQA", "ViltAnswerHead", "ViTBlock", "PatchEmbed"]
 
 
 class PatchEmbed(nn.Module):
@@ -102,6 +101,29 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class ViltAnswerHead(nn.Module):
+    """ViLT's classifier orders LayerNorm BEFORE the GELU
+    (``vilt.py:38-44``: Linear -> LayerNorm -> GELU -> Linear), unlike the
+    LXMERT answer head's GELU -> LN."""
+
+    num_answers: int
+    hidden_size: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled):
+        h = nn.Dense(
+            self.hidden_size * 2, kernel_init=dense_init, name="dense",
+            dtype=self.dtype,
+        )(pooled)
+        h = LayerNorm(eps=1e-5, name="ln")(h)  # torch nn.LayerNorm default
+        h = gelu(h)
+        return nn.Dense(
+            self.num_answers, kernel_init=dense_init, name="logits",
+            dtype=self.dtype,
+        )(h)
+
+
 class ViltForGQA(nn.Module):
     """ViLT + GQA answer head (reference ``GQAViLT``)."""
 
@@ -133,7 +155,7 @@ class ViltForGQA(nn.Module):
         ]
         self.norm = LayerNorm(eps=1e-6)
         self.pooler = Pooler(c, self.dtype)
-        self.answer_head = AnswerHead(
+        self.answer_head = ViltAnswerHead(
             self.num_answers, c.hidden_size, self.dtype
         )
 

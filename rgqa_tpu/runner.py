@@ -324,6 +324,8 @@ class GQARunner:
                 mixup_mode=tcfg.mixup_mode or "mixup_v1",
                 mixup_alpha=tcfg.mixup_alpha,
                 mixup_beta=tcfg.mixup_beta,
+                lam1=tcfg.lam1,
+                lam2=tcfg.lam2,
                 grad_clip=tcfg.optim.grad_clip,
             )
 
@@ -356,6 +358,8 @@ class GQARunner:
                 mixup_mode=tcfg.mixup_mode,
                 mixup_alpha=tcfg.mixup_alpha,
                 mixup_beta=tcfg.mixup_beta,
+                lam1=tcfg.lam1,
+                lam2=tcfg.lam2,
                 energy=cfg.ood.scorer == "energy" and tcfg.m_in != 0,
                 m_in=tcfg.m_in,
                 m_out=tcfg.m_out,
@@ -772,6 +776,44 @@ class GQARunner:
             dump_predictions(quesid2ans, dump)
         return results
 
+    def clip_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        similarity,
+        image_root: str,
+        dump: Optional[str] = None,
+        batch_size: int = 32,
+    ) -> dict:
+        """CLIP-score rejection (``gqa_clip.py:76-110``): answers from this
+        finetuned model's argmax, confidence = image-question cosine
+        similarity from ``similarity(images, texts) -> scores`` (a
+        ``scorers.clip.ClipScorer`` or any injected callable) over the raw
+        JPEGs under ``image_root``."""
+        from PIL import Image
+
+        from rgqa_tpu.data.images import GQAImageSource
+
+        source = GQAImageSource(image_root)
+        answers = self.predict(encoded)
+        ds = encoded.dataset
+        qids = list(encoded.question_ids)
+        quesid2ans = {}
+        for s in range(0, len(qids), batch_size):
+            chunk = qids[s : s + batch_size]
+            sents = [ds.id2datum[q]["sent"] for q in chunk]
+            imgs = []
+            for q in chunk:
+                with Image.open(source.path(ds.id2datum[q]["img_id"])) as im:
+                    imgs.append(im.convert("RGB"))
+            scores = similarity(imgs, sents)
+            for qid, sc in zip(chunk, scores):
+                quesid2ans[qid] = (answers[qid], float(sc))
+        evaluator = RGQAEvaluator(ds.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
     def match_ood_evaluate(
         self,
         encoded: EncodedGQA,
@@ -908,6 +950,19 @@ class GQARunner:
                 )
             elif self.model_cfg.backbone == "uniter":
                 self.params, missing, unused = import_uniter_gqa(
+                    np_params(self.params), path
+                )
+            elif self.model_cfg.backbone == "vilt":
+                from rgqa_tpu.checkpoint.torch_import import import_vilt_gqa
+
+                self.params, missing, unused = import_vilt_gqa(
+                    np_params(self.params), path,
+                    num_layers=enc.num_layers,
+                )
+            elif self.model_cfg.backbone == "butd":
+                from rgqa_tpu.checkpoint.torch_import import import_butd_gqa
+
+                self.params, missing, unused = import_butd_gqa(
                     np_params(self.params), path
                 )
             else:

@@ -33,6 +33,8 @@ def make_online_distill_step(
     mixup_mode: Optional[str] = "mixup_v1",
     mixup_alpha: float = 1.0,
     mixup_beta: float = 1.0,
+    lam1: float = 0.5,
+    lam2: float = 0.05,
     grad_clip: float = 5.0,
     donate: bool = True,
 ):
@@ -42,7 +44,8 @@ def make_online_distill_step(
         drop_rng, aug_rng = jax.random.split(rng)
         if mixup_mode and mixup_mode != "none":
             batch = mixup_augment(
-                batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode
+                batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode,
+                lam1=lam1, lam2=lam2,
             )
         target = batch["target"]
         outdom = (jnp.sum(target, axis=-1) < 1.0).astype(jnp.float32)[:, None]

@@ -76,6 +76,124 @@ def rp_augment(batch: dict, rng: jax.Array) -> dict:
     return out
 
 
+def _treemix_augment(
+    batch: dict,
+    rng: jax.Array,
+    alpha: float,
+    beta: float,
+    mode: str,
+    lam1: float,
+    lam2: float,
+) -> dict:
+    """Constituency-aware language mixup (reference ``gqa_mixup_both.py``).
+
+    When the batch carries precomputed parse spans
+    (``EncodedGQA.parse_spans``), the splice follows the reference's
+    ``mix_trees`` (``:47-77``): a random anchor subtree whose word-ratio
+    lies in (lam2, lam1) is replaced by a random partner subtree — the
+    partner's ratio is also measured against the *anchor's* length, the
+    reference's quirk (``:58-61``).  Rows without a usable parse (or
+    batches without spans) fall back to a random token window of
+    Beta(alpha, beta) width.  Everything runs on device: span choice is a
+    masked Gumbel argmax, the splice is two gathers + selects.
+    """
+    out = dict(batch)
+    text_keys = [
+        k for k in ("input_ids", "segment_ids", "token_ids") if k in batch
+    ]
+    ids = batch.get("input_ids", batch.get("token_ids"))
+    b, t = ids.shape
+    target = batch["target"]
+    (prop_rng, pos_rng, roll_rng, pick_a_rng, pick_p_rng) = jax.random.split(
+        rng, 5
+    )
+    shift = jax.random.randint(roll_rng, (), 1, b)
+    pos = jnp.arange(t)[None, :]
+
+    # Fallback: random window, spliced at the same coordinates on both
+    # sides (the pre-parse behavior; also the path for BUTD's
+    # front-padded encoding).
+    prop = jax.random.beta(prop_rng, alpha, beta, (b,))
+    span_f = jnp.floor(prop * (t - 2)).astype(jnp.int32)
+    start_f = 1 + (
+        jax.random.uniform(pos_rng, (b,))
+        * jnp.maximum(t - 2 - span_f, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    s1, l1, s2, l2 = start_f, span_f, start_f, span_f
+    lab = 1.0 - prop  # v1 target weight for fallback rows
+
+    if "parse_spans" in batch:
+        spans = batch["parse_spans"].astype(jnp.int32)  # (B, K, 2)
+        sw = batch["parse_span_words"].astype(jnp.float32)  # (B, K)
+        nw = batch["parse_n_words"].astype(jnp.float32)  # (B,)
+        p_spans = jnp.roll(spans, shift, axis=0)
+        p_sw = jnp.roll(sw, shift, axis=0)
+        nw_safe = jnp.maximum(nw, 1.0)[:, None]
+        ratio_a = sw / nw_safe
+        valid_a = (spans[..., 0] >= 0) & (ratio_a > lam2) & (ratio_a < lam1)
+        # Reference quirk: partner ratio measured vs the ANCHOR's length.
+        ratio_p = p_sw / nw_safe
+        valid_p = (p_spans[..., 0] >= 0) & (ratio_p > lam2) & (ratio_p < lam1)
+
+        def masked_pick(rng_, valid):
+            g = jax.random.gumbel(rng_, valid.shape)
+            return jnp.argmax(jnp.where(valid, g, -jnp.inf), axis=1)
+
+        ka = masked_pick(pick_a_rng, valid_a)
+        kp = masked_pick(pick_p_rng, valid_p)
+        ok = jnp.any(valid_a, 1) & jnp.any(valid_p, 1) & (nw > 0)
+
+        def pick(arr, k):
+            return jnp.take_along_axis(arr, k[:, None, None], axis=1)[:, 0]
+
+        sa, ea = pick(spans, ka)[:, 0], pick(spans, ka)[:, 1]
+        sp, ep = pick(p_spans, kp)[:, 0], pick(p_spans, kp)[:, 1]
+        s1 = jnp.where(ok, sa, s1)
+        l1 = jnp.where(ok, ea - sa, l1)
+        s2 = jnp.where(ok, sp, s2)
+        l2 = jnp.where(ok, ep - sp, l2)
+        # Reference label (mix_trees:70-76): words kept / new length.
+        l1w = jnp.take_along_axis(sw, ka[:, None], 1)[:, 0]
+        l2w = jnp.take_along_axis(p_sw, kp[:, None], 1)[:, 0]
+        new_words = jnp.maximum(nw - l1w + l2w, 1.0)
+        lab = jnp.where(ok, (new_words - l2w) / new_words, lab)
+
+    take_p = (pos >= s1[:, None]) & (pos < (s1 + l2)[:, None])
+    take_suffix = pos >= (s1 + l2)[:, None]
+    idx_p = jnp.clip(s2[:, None] + pos - s1[:, None], 0, t - 1)
+    idx_s = jnp.clip(pos - l2[:, None] + l1[:, None], 0, t - 1)
+    mixed = {}
+    for k in text_keys:
+        a = batch[k]
+        p = jnp.roll(batch[k], shift, axis=0)
+        from_p = jnp.take_along_axis(p, idx_p, axis=1)
+        from_s = jnp.take_along_axis(a, idx_s, axis=1)
+        mixed[k] = jnp.where(take_p, from_p, jnp.where(take_suffix, from_s, a))
+    if "input_mask" in batch:
+        len_a = jnp.sum(batch["input_mask"].astype(jnp.int32), axis=1)
+        new_len = jnp.clip(len_a - l1 + l2, 0, t)
+        mixed["input_mask"] = (pos < new_len[:, None]).astype(
+            batch["input_mask"].dtype
+        )
+    for k in (*text_keys, *(["input_mask"] if "input_mask" in batch else [])):
+        out[k] = jnp.concatenate([batch[k], mixed[k]], 0)
+    for k in ("feats", "boxes", "pixels"):
+        if k in batch:
+            out[k] = jnp.concatenate([batch[k], batch[k]], 0)
+    if mode.endswith("_v1"):
+        # treemix_v1: answer mass shrinks with the swapped word fraction.
+        pet_target = target * lab[:, None]
+    else:  # treemix / treemix_v2 / treemix_both: zero (the committed
+        # reference path, gqa_mixup_both.py:193-196)
+        pet_target = jnp.zeros_like(target)
+    out["target"] = jnp.concatenate([target, pet_target], 0)
+    if "id_mask" in batch:
+        out["id_mask"] = jnp.concatenate(
+            [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
+        )
+    return out
+
+
 def mixup_augment(
     batch: dict,
     rng: jax.Array,
@@ -84,6 +202,8 @@ def mixup_augment(
     mode: str,
     *,
     uq_as_class: bool = False,
+    lam1: float = 0.5,
+    lam2: float = 0.05,
 ) -> dict:
     """Mixup-RoI pseudo-UQ augmentation (reference ``gqa_mixup_vis.py``).
 
@@ -106,39 +226,24 @@ def mixup_augment(
     feats, boxes, target = batch["feats"], batch["boxes"], batch["target"]
     b, n = feats.shape[:2]
 
+    if mode == "treemix_both":
+        # gqa_mixup_both.py:180-230: flip a coin per batch between the
+        # constituency sentence splice and the RoI-window image mixup
+        # (both append pseudo-UQ rows of identical shapes -> lax.cond).
+        coin_rng, aug_rng = jax.random.split(rng)
+        coin = jax.random.bernoulli(coin_rng)
+        return jax.lax.cond(
+            coin,
+            lambda: _treemix_augment(
+                batch, aug_rng, alpha, beta, "treemix_v2", lam1, lam2
+            ),
+            lambda: mixup_augment(
+                batch, aug_rng, alpha, beta, "mixup_v2",
+                uq_as_class=uq_as_class,
+            ),
+        )
     if mode.startswith("treemix"):
-        # Language mixup (gqa_mixup_lang.py): splice a partner question's
-        # token window into the anchor question; vision unchanged.
-        prop_rng, pos_rng, roll_rng = jax.random.split(rng, 3)
-        prop = jax.random.beta(prop_rng, alpha, beta, (b,))
-        ids = batch["input_ids"]
-        t = ids.shape[1]
-        shift = jax.random.randint(roll_rng, (), 1, b)
-        span = jnp.floor(prop * (t - 2)).astype(jnp.int32)  # keep [CLS]/[SEP]
-        start = 1 + (
-            jax.random.uniform(pos_rng, (b,))
-            * jnp.maximum(t - 2 - span, 1).astype(jnp.float32)
-        ).astype(jnp.int32)
-        pos = jnp.arange(t)[None, :]
-        in_span = (pos >= start[:, None]) & (pos < (start + span)[:, None])
-        mixed = {}
-        for k in text_keys:
-            partner = jnp.roll(batch[k], shift, axis=0)
-            mixed[k] = jnp.where(in_span, partner, batch[k])
-        for k in text_keys:
-            out[k] = jnp.concatenate([batch[k], mixed[k]], 0)
-        out["feats"] = jnp.concatenate([feats, feats], 0)
-        out["boxes"] = jnp.concatenate([boxes, boxes], 0)
-        if mode == "treemix_v2":
-            pet_target = jnp.zeros_like(target)
-        else:  # treemix_v1: answer mass shrinks with the swapped fraction
-            pet_target = target * (1.0 - prop)[:, None]
-        out["target"] = jnp.concatenate([target, pet_target], 0)
-        if "id_mask" in batch:
-            out["id_mask"] = jnp.concatenate(
-                [batch["id_mask"], jnp.zeros_like(batch["id_mask"])], 0
-            )
-        return out
+        return _treemix_augment(batch, rng, alpha, beta, mode, lam1, lam2)
 
     for k in text_keys:
         out[k] = jnp.concatenate([batch[k], batch[k]], 0)
@@ -214,6 +319,8 @@ def make_train_step(
     mixup_mode: Optional[str] = None,
     mixup_alpha: float = 1.0,
     mixup_beta: float = 1.0,
+    lam1: float = 0.5,
+    lam2: float = 0.05,
     energy: bool = False,
     m_in: float = 25.0,
     m_out: float = 0.0,
@@ -272,7 +379,7 @@ def make_train_step(
         elif mixup_mode:
             batch = mixup_augment(
                 batch, aug_rng, mixup_alpha, mixup_beta, mixup_mode,
-                uq_as_class=uq_as_class,
+                uq_as_class=uq_as_class, lam1=lam1, lam2=lam2,
             )
         out = forward(params, batch, deterministic=False, rng=drop_rng)
         logits = out["logits"].astype(jnp.float32)

@@ -1,0 +1,8 @@
+# Ensemble (mean sigmoid) of two checkpoints (reference scripts/butd/test/ensemble.sh)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+LOAD=${LOAD:-$OUTPUT/butd/vanilla/BEST,$OUTPUT/butd/rp/BEST}
+for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
+  python -m rgqa_tpu.cli.evaluate --backbone butd --data_root $DATA_ROOT \
+    --test $subset --load $LOAD --output $OUTPUT/butd/ensemble "$@"
+done

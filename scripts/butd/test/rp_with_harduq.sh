@@ -1,0 +1,8 @@
+# MSP eval of the RP+hard-UQ model (reference scripts/butd/test/rp_with_harduq.sh)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+LOAD=${LOAD:-$OUTPUT/butd/rp_hard_uq/BEST}
+for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
+  python -m rgqa_tpu.cli.evaluate --backbone butd --data_root $DATA_ROOT \
+    --test $subset --load $LOAD --scorer msp --output $OUTPUT/butd/rp_with_harduq "$@"
+done

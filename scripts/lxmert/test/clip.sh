@@ -1,8 +1,11 @@
-# ODIN: temperature-scaled, input-perturbed rejection (reference scripts/lxmert/test/odin.sh)
+# CLIP image-question similarity rejection (reference run/gqa_clip_test.bash
+# + src/tasks/gqa_clip.py; needs a local CLIP checkpoint, zero-egress)
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
 LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
+CLIP_PATH=${CLIP_PATH:-openai/clip-vit-base-patch32}
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
-    --test $subset --load $LOAD --scorer odin --temperature 1e5 --noise 1e-4 --output $OUTPUT/lxmert/odin "$@"
+    --test $subset --load $LOAD --scorer clip --clip_path $CLIP_PATH \
+    --output $OUTPUT/lxmert/clip "$@"
 done

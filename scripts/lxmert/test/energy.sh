@@ -1,12 +1,8 @@
-# energy rejection scoring (reference scripts/lxmert/test/energy.sh)
+# Energy rejection (top-2 logit energy) (reference scripts/lxmert/test/energy.sh)
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
-LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
-EXTRA=""
-[ "energy" = odin ] && EXTRA="--temperature 1e5 --noise 1e-4"
-[ "energy" = dropout ] && EXTRA="--seed_list 0,1,2,3,4"
+LOAD=${LOAD:-$OUTPUT/lxmert/energy/BEST}
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
-    --test $subset --load $LOAD --scorer energy $EXTRA \
-    --output $OUTPUT/lxmert/energy "$@"
+    --test $subset --load $LOAD --scorer energy --output $OUTPUT/lxmert/energy "$@"
 done

@@ -1,12 +1,8 @@
-# maha rejection scoring (reference scripts/lxmert/test/maha.sh)
+# Mahalanobis rejection (train-set estimator + perturbation) (reference scripts/lxmert/test/maha.sh)
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
 LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
-EXTRA=""
-[ "maha" = odin ] && EXTRA="--temperature 1e5 --noise 1e-4"
-[ "maha" = dropout ] && EXTRA="--seed_list 0,1,2,3,4"
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
-    --test $subset --load $LOAD --scorer maha $EXTRA \
-    --output $OUTPUT/lxmert/maha "$@"
+    --test $subset --load $LOAD --scorer maha --train GQAUQ_train_questions_unsup --temperature 1e5 --noise 1e-4 --fast --output $OUTPUT/lxmert/maha "$@"
 done

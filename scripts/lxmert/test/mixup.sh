@@ -1,9 +1,8 @@
-# FRCNN object-coverage rejection (reference run/gqa_fasterrcnn_test.bash)
+# MSP eval of the mixup-RoI model (reference scripts/lxmert/test/mixup.sh)
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
-LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
+LOAD=${LOAD:-$OUTPUT/lxmert/mixup/BEST}
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
-    --test $subset --load $LOAD --scorer frcnn \
-    --output $OUTPUT/lxmert/frcnn "$@"
+    --test $subset --load $LOAD --scorer msp --output $OUTPUT/lxmert/mixup "$@"
 done

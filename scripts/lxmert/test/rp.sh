@@ -1,8 +1,8 @@
-# ODIN: temperature-scaled, input-perturbed rejection (reference scripts/lxmert/test/odin.sh)
+# MSP eval of the RP-trained model (reference scripts/lxmert/test/rp.sh)
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
-LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
+LOAD=${LOAD:-$OUTPUT/lxmert/rp/BEST}
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
-    --test $subset --load $LOAD --scorer odin --temperature 1e5 --noise 1e-4 --output $OUTPUT/lxmert/odin "$@"
+    --test $subset --load $LOAD --scorer msp --output $OUTPUT/lxmert/rp "$@"
 done

@@ -61,3 +61,35 @@ class TestCliPipeline:
         from rgqa_tpu.cli.compute_param import count_params
 
         assert count_params("caps") > 1e6
+
+    def test_clip_scorer_cli_with_stub(self, roots, monkeypatch):
+        """--scorer clip end-to-end with an injected similarity stub
+        (zero-egress: no CLIP weights; reference gqa_clip.py:76-110)."""
+        data, snap = roots
+        from rgqa_tpu.cli import evaluate
+        from rgqa_tpu.scorers import clip as clip_mod
+
+        calls = {}
+
+        class StubScorer:
+            def __init__(self, path):
+                calls["path"] = path
+
+            def scores(self, images, texts):
+                assert len(images) == len(texts)
+                # deterministic pseudo-similarity from question length
+                return np.asarray([len(t) % 7 / 7.0 for t in texts])
+
+        monkeypatch.setattr(clip_mod, "ClipScorer", StubScorer)
+        results = evaluate.main(
+            FLAGS + ["--data_root", data, "--test", "testdev",
+                     "--load", os.path.join(snap, "LAST"),
+                     "--scorer", "clip", "--clip_path", "/tmp/clip-ckpt",
+                     "--output", snap]
+        )
+        assert calls["path"] == "/tmp/clip-ckpt"
+        assert np.isfinite(results["testdev"]["auaf"])
+        pred = os.path.join(snap, "testdev_predict.json")
+        with open(pred) as f:
+            rows = json.load(f)
+        assert {"questionId", "prediction", "confidence"} == set(rows[0])
