@@ -34,10 +34,24 @@ def main(argv=None):
     extra.add_argument("--tau_uq_v", type=float, default=0.05)
     extra.add_argument("--balance", action="store_true")
     own, rest = extra.parse_known_args(argv)
-    cfg, _ = parse_cli(rest)
+    cfg, ns = parse_cli(rest)
 
     runner = GQARunner(cfg)
     out_path = os.path.join(cfg.data.data_root, f"{own.output_name}.json")
+    if cfg.teacher_path and "," in cfg.teacher_path:
+        # Ensemble-teacher pseudo-labeling (gqa_ensemble_distill.py):
+        # --teacher_path a,b,c multiplies per-checkpoint sigmoids over the
+        # train splits and writes the pseudo-labeled student split.
+        from rgqa_tpu.distill import build_ensemble_distill_split
+
+        rows = build_ensemble_distill_split(
+            runner,
+            cfg.teacher_path.split(","),
+            splits=cfg.data.train_splits,
+            out_path=out_path,
+        )
+        print(f"wrote {len(rows)} ensemble-distilled rows to {out_path}")
+        return rows
     rows = build_distill_split(
         runner,
         n_candidates=own.n_candidates,

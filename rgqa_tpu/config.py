@@ -193,6 +193,33 @@ class RunConfig:
         return dataclasses.replace(self, **kw)
 
 
+def dump_run_config(cfg: RunConfig, output: str) -> str:
+    """Write the resolved RunConfig (+ git sha) into ``<output>/``.
+
+    The reference snapshots all of ``src/`` into each run directory for
+    reproducibility (``run/gqa_conf_finetune.bash:6-8``); the typed-config
+    equivalent is the full resolved configuration plus the code revision.
+    """
+    import json
+    import os
+    import subprocess
+
+    os.makedirs(output, exist_ok=True)
+    payload = dataclasses.asdict(cfg)
+    try:
+        payload["git_sha"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        payload["git_sha"] = None
+    path = os.path.join(output, "run_config.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    return path
+
+
 def _build_parser() -> argparse.ArgumentParser:
     """CLI accepting the reference's flag names (``src/param.py:33-150``)."""
     p = argparse.ArgumentParser(description="RGQA-TPU")

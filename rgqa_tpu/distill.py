@@ -29,6 +29,7 @@ __all__ = [
     "cartography_stats",
     "select_distill",
     "build_distill_split",
+    "build_ensemble_distill_split",
 ]
 
 
@@ -193,3 +194,75 @@ def build_distill_split(
     with open(out_path, "w") as f:
         json.dump(rows, f)
     return rows
+
+
+def build_ensemble_distill_split(
+    runner,
+    ckpt_paths: Sequence[str],
+    *,
+    splits: str,
+    out_path: str,
+) -> list[dict]:
+    """Ensemble-teacher pseudo-labeling (``gqa_ensemble_distill.py:85-139``).
+
+    Loads each checkpoint into ``runner`` in turn, multiplies the sigmoid
+    vectors per question across teachers (product ensemble), and writes a
+    pseudo-labeled student split ``{img_id, question_id, sent,
+    label: {argmax answer: ensemble score}}``.  UQ rows keep the
+    reference's ``unanswerable_reason+question_id`` id convention
+    (``:91-100``).
+    """
+    import json
+
+    from rgqa_tpu.data.dataset import GQADataset
+
+    # Re-keyed source rows (the reference builds a dict keyed by the
+    # possibly reason-prefixed qid).
+    data: dict[str, dict] = {}
+    for d in GQADataset(
+        runner.cfg.data.data_root, splits, add_uq=True
+    ).data:
+        label = d.get("label") or {}
+        if "UQ" in label and d.get("unanswerable_reason"):
+            qid = f"{d['unanswerable_reason']}+{d['question_id']}"
+        else:
+            qid = d["question_id"]
+        data[qid] = {**d, "question_id": qid}
+
+    tmp = GQADataset.from_rows(
+        list(data.values()),
+        ans2label=runner.dataset.ans2label,
+        label2ans=runner.dataset.label2ans,
+        name="ensemble_distill",
+    )
+    encoded = runner._encode(tmp)
+
+    from rgqa_tpu.scorers import make_msp_scorer
+
+    msp = make_msp_scorer(runner.forward)
+    quesid2conf: dict[str, np.ndarray] = {}
+    for path in ckpt_paths:
+        runner.load(path)
+        for qids, batch, real in runner._iter_eval(encoded):
+            probs = np.asarray(msp(runner.params, batch)["probs"])[:real]
+            for qid, p in zip(qids, probs):
+                if qid in quesid2conf:
+                    quesid2conf[qid] = quesid2conf[qid] * p
+                else:
+                    quesid2conf[qid] = p
+
+    final = []
+    label2ans = runner.label2ans
+    for qid, score in quesid2conf.items():
+        label = int(np.argmax(score))
+        final.append(
+            {
+                "img_id": data[qid]["img_id"],
+                "question_id": data[qid]["question_id"],
+                "sent": data[qid]["sent"],
+                "label": {label2ans[label]: float(score[label])},
+            }
+        )
+    with open(out_path, "w") as f:
+        json.dump(final, f)
+    return final

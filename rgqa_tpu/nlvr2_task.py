@@ -103,6 +103,11 @@ class Nlvr2Runner:
         self.params = shard_params(self.mesh, params)
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
+        from rgqa_tpu.config import dump_run_config
+
+        # Reproducibility snapshot (reference copies src/ into each
+        # output dir, run/gqa_conf_finetune.bash:6-8).
+        dump_run_config(cfg, self.output)
 
         def fwd(params, batch, *, deterministic=True, rng=None):
             return self.model.apply(

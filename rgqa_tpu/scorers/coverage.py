@@ -34,6 +34,35 @@ _NON_NOUNS = {
     "above", "below", "under", "over", "and", "or", "not", "no", "yes",
     "any", "some", "you", "it", "its", "his", "her", "their", "same",
     "different", "both", "either", "made", "see", "seen", "have", "has",
+    "think", "look", "looks", "looking", "called", "wearing", "holding",
+    "sitting", "standing", "side", "part", "beside", "inside", "around",
+    "out", "toward", "towards",
+}
+
+# GQA's closed adjective classes (colors / sizes / materials / common
+# states).  A spacy NOUN tag would exclude these; the lexicon-free
+# heuristic must too, or "blue chair" demands a detected object "blue"
+# and coverage falsely rejects (measured on the golden example's real
+# questions in tests/test_fidelity.py).
+_COMMON_ADJECTIVES = {
+    # colors
+    "red", "blue", "green", "yellow", "orange", "purple", "pink", "brown",
+    "black", "white", "gray", "grey", "silver", "gold", "golden", "dark",
+    "light", "blond", "blonde", "beige", "tan", "cream", "maroon", "teal",
+    # sizes / shapes
+    "big", "small", "large", "little", "tall", "short", "long", "huge",
+    "tiny", "wide", "narrow", "thick", "thin", "round", "square",
+    "rectangular", "giant",
+    # materials
+    "wooden", "metal", "metallic", "plastic", "glass", "leather", "stone",
+    "concrete", "brick", "wood", "steel", "cloth", "ceramic", "chrome",
+    "cobblestone", "wicker", "porcelain", "rubber", "denim", "wool",
+    # common states
+    "old", "new", "young", "clean", "dirty", "empty", "full", "open",
+    "closed", "wet", "dry", "bright", "shiny", "dull", "colorful", "comfy",
+    "comfortable", "happy", "sad", "male", "female", "striped", "spotted",
+    "parked", "modern", "electric", "electrical", "soft", "hard", "heavy",
+    "fresh", "healthy", "cooked", "raw", "sliced",
 }
 
 
@@ -75,7 +104,10 @@ def noun_tokens(sent: str) -> list[str]:
         toks = sent.lower().replace("?", " ").replace(",", " ").split()
         nouns = [
             t for t in toks
-            if t.isalpha() and t not in _NON_NOUNS and len(t) > 2
+            if t.isalpha()
+            and t not in _NON_NOUNS
+            and t not in _COMMON_ADJECTIVES
+            and len(t) > 2
         ]
     return [n for n in nouns if n.lower() not in NOUN_STOPLIST]
 

@@ -26,44 +26,112 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["question_to_statement", "fill_statement", "VerifierTrainer"]
+__all__ = [
+    "question_to_statement",
+    "statement_with_rule",
+    "fill_statement",
+    "VerifierTrainer",
+]
 
 _AUX = ("is", "are", "was", "were", "does", "do", "did", "can", "could")
+_PRONOUNS = {"it", "this", "that", "he", "she"}
+
+
+def statement_with_rule(sent: str) -> tuple[str, str]:
+    """Question -> (statement template with an ``**blank**`` answer slot,
+    name of the rule that fired).
+
+    The rule set covers the real GQA question-form distribution — measured
+    over the 11,158 questions of the reference's golden example
+    (``compute_accfpr/example.json``) in
+    ``tests/test_fidelity.py::TestVerifierTemplates`` — replacing the
+    reference's benepar-parse POSTree transform (``POSTree.py:24+``),
+    which is uninstallable here.  ``fallback`` marks questions no rule
+    converts (statement keeps the question's own word order).
+    """
+    q = sent.strip().rstrip("?").strip()
+    low = q.lower()
+    # Contractions: "what's" -> "what is" etc. (121/11k GQA questions).
+    low = re.sub(r"\b(what|who|where|which|how)'s\b", r"\1 is", low)
+    words = low.split()
+    if not words:
+        return "**blank**", "empty"
+    w0 = words[0]
+
+    m = re.match(r"(?:of\s+)?(what|which)\s+colou?r\s+(is|are)\s+(.*)", low)
+    if m:
+        return f"the color of {m.group(3)} {m.group(2)} **blank**", "color"
+    m = re.match(r"how\s+many\s+(.*)", low)
+    if m:
+        return f"there are **blank** {m.group(1)}", "count"
+    # "how big/tall/... is X" -> "X is **blank**" (the answer is the
+    # degree adjective: "how big is the house" / "large").
+    m = re.match(r"how\s+(\w+)\s+(is|are)\s+(.*)", low)
+    if m and m.group(1) not in ("many", "much"):
+        return f"{m.group(3)} {m.group(2)} **blank**", "degree"
+    # "how clean do you think is X" -> "X is **blank**".
+    m = re.match(r"how\s+\w+\s+do\s+you\s+think\s+(is|are)\s+(.*)", low)
+    if m:
+        return f"{m.group(2)} {m.group(1)} **blank**", "degree"
+    # "how is X called" / "what is X called" -> "X is called **blank**".
+    m = re.match(r"(?:how|what)\s+(is|are)\s+(.*?)\s+called", low)
+    if m:
+        return f"{m.group(2)} {m.group(1)} called **blank**", "called"
+    m = re.match(r"what\s+(.*?)\s+(is|are)\s+called", low)
+    if m:  # GQA's inverted form: "what the X is called?"
+        return f"{m.group(1)} {m.group(2)} called **blank**", "called"
+    m = re.match(r"where\s+(is|are)\s+(.*)", low)
+    if m:
+        return f"{m.group(2)} {m.group(1)} in **blank**", "where"
+    m = re.match(r"where\s+(does|do|did)\s+(.*)", low)
+    if m:
+        return f"{m.group(2)} in **blank**", "where-do"
+    # "(on|in) which side ..." -> "... on the **blank** side".
+    m = re.match(r"(on|in)\s+which\s+side(?:\s+of\s+(?:the\s+)?\w+)?\s+(is|are)\s+(.*)", low)
+    if m:
+        return (
+            f"{m.group(3)} {m.group(2)} {m.group(1)} the **blank** side",
+            "side",
+        )
+    m = re.match(r"(what|which|who)\s+(is|are|was|were)\s+(.*)", low)
+    if m:
+        rest = m.group(3)
+        if rest in _PRONOUNS:  # "which place is it" -> "it is **blank**"
+            return f"{rest} {m.group(2)} **blank**", "wh-pronoun"
+        return f"**blank** {m.group(2)} {rest}", "wh-copula"
+    # "what/which/who <noun phrase> <verb> ..." ("what kind of device is
+    # shown", "which animal do you see") and do-support forms.
+    m = re.match(r"(what|which|who)\s+(.*?)\s+(does|do|did)\s+(.*)", low)
+    if m:
+        return f"{m.group(4)} the **blank** {m.group(2)}", "wh-do"
+    m = re.match(r"(what|which|who)\s+(.*)", low)
+    if m:
+        return f"the {m.group(2)} is **blank**", "wh-generic"
+    if w0 in _AUX:
+        # Yes/no question: "is there a dog" -> "there is a dog , **blank**".
+        rest = " ".join(words[1:])
+        return f"{rest} , **blank**", "yes-no"
+    # Trailing-wh questions are already in statement order ("The vase
+    # holds what?", "... is of which color?"): substitute the wh-tail.
+    m = re.match(r"(.*)\s+(?:of\s+)?(?:which|what)\s+colou?r$", low)
+    if m:
+        return f"{m.group(1)} **blank** color", "tail-color"
+    m = re.match(r"(.*)\s+(what|who|where|which)$", low)
+    if m:
+        return f"{m.group(1)} **blank**", "tail-wh"
+    # "Beside/inside what is the X ..." -> "the X ... is beside **blank**".
+    m = re.match(
+        r"(beside|inside|behind|under|over|near|above|below|around)\s+"
+        r"what\s+(is|are)\s+(.*)", low,
+    )
+    if m:
+        return f"{m.group(3)} {m.group(2)} {m.group(1)} **blank**", "prep-wh"
+    return f"{low} **blank**", "fallback"
 
 
 def question_to_statement(sent: str) -> str:
     """Question -> statement template with an ``**blank**`` answer slot."""
-    q = sent.strip().rstrip("?").strip()
-    low = q.lower()
-    words = q.split()
-    if not words:
-        return "**blank**"
-    w0 = words[0].lower()
-
-    m = re.match(r"(what|which)\s+colou?r\s+(is|are)\s+(.*)", low)
-    if m:
-        return f"the color of {m.group(3)} {m.group(2)} **blank**"
-    m = re.match(r"how\s+many\s+(.*)", low)
-    if m:
-        rest = m.group(1)
-        for aux in _AUX:
-            if f" {aux} " in f" {rest} ":
-                return f"there are **blank** {rest}"
-        return f"there are **blank** {rest}"
-    m = re.match(r"where\s+(is|are)\s+(.*)", low)
-    if m:
-        return f"{m.group(2)} {m.group(1)} in **blank**"
-    m = re.match(r"(what|which|who)\s+(is|are|was|were)\s+(.*)", low)
-    if m:
-        return f"**blank** {m.group(2)} {m.group(3)}"
-    m = re.match(r"(what|which|who)\s+(.*)", low)
-    if m:
-        return f"the {m.group(2)} is **blank**"
-    if w0 in _AUX:
-        # Yes/no question: "is there a dog" -> "there is a dog , **blank**".
-        rest = " ".join(words[1:]).lower()
-        return f"{rest} , **blank**"
-    return f"{low} **blank**"
+    return statement_with_rule(sent)[0]
 
 
 def fill_statement(template: str, answer: str) -> str:

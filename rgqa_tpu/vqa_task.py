@@ -119,6 +119,11 @@ class VQARunner:
 
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
+        from rgqa_tpu.config import dump_run_config
+
+        # Reproducibility snapshot (reference copies src/ into each
+        # output dir, run/gqa_conf_finetune.bash:6-8).
+        dump_run_config(cfg, self.output)
         self._encoded: dict[str, EncodedGQA] = {}
 
     # ------------------------------------------------------------------

@@ -93,3 +93,37 @@ class TestCliPipeline:
         with open(pred) as f:
             rows = json.load(f)
         assert {"questionId", "prediction", "confidence"} == set(rows[0])
+
+    def test_run_config_snapshot(self, roots):
+        """Every runner writes the resolved config + git sha into the
+        output dir (reference snapshots src/, run/gqa_conf_finetune.bash:6-8)."""
+        data, snap = roots
+        path = os.path.join(snap, "run_config.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            payload = json.load(f)
+        assert payload["model"]["backbone"] == "lxmert"
+        assert payload["train"]["batch_size"] == 16
+        assert "git_sha" in payload
+
+    def test_ensemble_distill_cli(self, roots):
+        """--teacher_path a,b triggers the ensemble-teacher pseudo-label
+        pipeline (reference gqa_ensemble_distill.py)."""
+        data, snap = roots
+        from rgqa_tpu.cli import distill
+
+        ckpt = os.path.join(snap, "LAST")
+        rows = distill.main(
+            FLAGS + ["--data_root", data, "--train", "train",
+                     "--load", ckpt,
+                     "--teacher_path", f"{ckpt},{ckpt}",
+                     "--output", snap, "--output_name", "ens_distill"]
+        )
+        assert rows, "no pseudo-labeled rows"
+        r = rows[0]
+        assert set(r) == {"img_id", "question_id", "sent", "label"}
+        (ans, score), = r["label"].items()
+        # product of two identical sigmoid vectors: score in (0, 1)
+        assert 0.0 < score < 1.0
+        out_path = os.path.join(data, "ens_distill.json")
+        assert os.path.exists(out_path)
