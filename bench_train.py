@@ -1,0 +1,90 @@
+"""Training-step throughput benchmark on one TPU chip.
+
+Full RGQA finetune configuration (reference ``run/gqa_conf_finetune.bash``
++ ``gqa_conf.py:140-243``): LXMERT 9/5/5 x 768, 1842 answers, BCE x K
+loss, global clip-by-norm 5.0, BertAdam, RP pseudo-UQ augmentation on
+device (--sample_pair doubles the effective batch).
+
+Chained dispatch: N steps inside one jitted ``lax.scan`` over the train
+state, one host fetch at the end (the only reliable sync on this
+platform).  Prints ONE JSON line
+``{"unit": "examples/sec/chip", "batch": B, "examples_per_sec": ...,
+"step_ms": ...}`` where examples/sec counts the pre-augmentation batch.
+
+Env: RGQA_BENCH_BATCH (default 128), RGQA_BENCH_ITERS (default 8).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from rgqa_tpu.config import ModelConfig
+    from rgqa_tpu.models.zoo import build_model, example_batch
+    from rgqa_tpu.train import bert_adam, create_train_state, make_train_step
+
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "128"))
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))
+
+    cfg = ModelConfig(backbone="lxmert")
+    model, forward = build_model(cfg, use_bf16=True)
+    host = example_batch(cfg, batch_size=batch_size, seed=0, with_target=True)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][:2], batch["input_mask"][:2],
+        batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
+    )["params"]
+
+    tx = bert_adam(1e-5, warmup=0.1, t_total=10_000)
+    state = create_train_state(params, tx)
+    # donate=False: the step runs inside a scan body (the outer jit owns
+    # the buffers), so per-call donation would be invalid.
+    step = make_train_step(forward, loss="bce", sample_pair=True, donate=False)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def train_n(state, batch, n):
+        def body(carry, i):
+            state = carry
+            state, aux = step(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(0), i
+            ))
+            return state, aux["loss"]
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(n), length=n
+        )
+        return state, losses
+
+    state, losses = train_n(state, batch, iters)
+    np.asarray(losses)  # compile + warmup sync
+    start = time.perf_counter()
+    state, losses = train_n(state, batch, iters)
+    losses = np.asarray(losses)
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(losses).all()
+
+    print(
+        json.dumps(
+            {
+                "unit": "examples/sec/chip",
+                "batch": batch_size,
+                "examples_per_sec": round(batch_size * iters / elapsed, 1),
+                "step_ms": round(elapsed / iters * 1e3, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

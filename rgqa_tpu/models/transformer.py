@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rgqa_tpu.config import EncoderConfig
-from rgqa_tpu.ops.attention import attention_probs, fused_attention
+from rgqa_tpu.ops.attention import (
+    attention_probs,
+    fused_attention,
+    fused_attention_dropout,
+)
+from rgqa_tpu.ops.common import dropout_kernel_enabled
 
 __all__ = [
     "gelu",
@@ -197,7 +202,9 @@ class AttentionBlock(nn.Module):
             k, v = jnp.split(kvp, 2, axis=-1)
 
         probs = None
-        if output_probs or (not deterministic and c.attention_dropout > 0.0):
+        train_dropout = not deterministic and c.attention_dropout > 0.0
+        kernel_ok = use_fused is not False and dropout_kernel_enabled()
+        if output_probs or (train_dropout and not kernel_ok):
             # Prob-dropout / visualization path: explicit probabilities.
             def heads(t, s):
                 return t.reshape(b, s, c.num_heads, c.head_dim).transpose(
@@ -211,6 +218,14 @@ class AttentionBlock(nn.Module):
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", dropped, v4)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, c.hidden_size)
+        elif train_dropout:
+            # In-kernel attention-prob dropout (TPU): keeps the fused path
+            # for training and MC-dropout scoring.
+            ctx = fused_attention_dropout(
+                q, k, v, bias,
+                num_heads=c.num_heads, rate=c.attention_dropout,
+                rng=self.make_rng("dropout"),
+            )
         else:
             force_xla = not use_fused if use_fused is not None else False
             ctx = fused_attention(

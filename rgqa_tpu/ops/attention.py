@@ -294,6 +294,226 @@ def _fused_bwd(num_heads, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused attention WITH attention-prob dropout (training / MC-dropout).
+#
+# The reference applies dropout to the softmax probabilities
+# (``src/lxrt/modeling.py:343-345``); without a kernel this forces the
+# explicit (B, H, Sq, Skv)-probs path every training step and every
+# MC-dropout pass.  Here the mask is drawn in-kernel from the TPU PRNG;
+# the backward kernel REPLAYS the same seed (same block size, same
+# per-head generation order) to reconstruct the identical mask.
+# ---------------------------------------------------------------------------
+
+# Forward and backward must share a block size: the mask is regenerated in
+# the backward by replaying (seed + program_id) per block.
+_DROP_BATCH_BLOCK = 8
+
+
+def _drop_mask(shape, rate):
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+
+
+def _fused_drop_kernel(
+    q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref, *, num_heads, head_dim, rate
+):
+    scale = 1.0 / math.sqrt(head_dim)
+    bias = m_ref[:][:, None, :]
+    d = head_dim
+    in_dtype = q_ref.dtype
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    keep_scale = 1.0 / (1.0 - rate)
+    for h in range(num_heads):
+        qh = q_ref[:, :, h * d:(h + 1) * d]
+        kh = k_ref[:, :, h * d:(h + 1) * d]
+        vh = v_ref[:, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        keep = _drop_mask(p.shape, rate)
+        p = jnp.where(keep, p * keep_scale, 0.0).astype(in_dtype)
+        o = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _fused_drop_bwd_kernel(
+    q_ref, k_ref, v_ref, m_ref, seed_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, db_ref,
+    *, num_heads, head_dim, rate,
+):
+    """Backward with seed-replay: regenerates the forward's dropout mask
+    (same seed, same program_id, same per-head order/shapes)."""
+    scale = 1.0 / math.sqrt(head_dim)
+    bias = m_ref[:][:, None, :]
+    d = head_dim
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    keep_scale = 1.0 / (1.0 - rate)
+    db_acc = jnp.zeros(m_ref.shape, jnp.float32)
+    for h in range(num_heads):
+        qh = q_ref[:, :, h * d:(h + 1) * d]
+        kh = k_ref[:, :, h * d:(h + 1) * d]
+        vh = v_ref[:, :, h * d:(h + 1) * d]
+        gh = g_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        keep = _drop_mask(p.shape, rate)
+        p_drop = jnp.where(keep, p * keep_scale, 0.0)
+        dp_drop = jax.lax.dot_general(
+            gh, vh.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(
+            p_drop, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.where(keep, dp_drop * keep_scale, 0.0)
+        ds_nb = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        db_acc = db_acc + jnp.sum(ds_nb, axis=1)
+        ds = (ds_nb * scale).astype(q_ref.dtype)
+        dq = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[:, :, h * d:(h + 1) * d] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, h * d:(h + 1) * d] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, h * d:(h + 1) * d] = dv.astype(dv_ref.dtype)
+    db_ref[:] = db_acc
+
+
+def _drop_call(kernel, outs, q, k, v, bias_kv, seed, g=None):
+    b, sq, e = q.shape
+    skv = k.shape[1]
+    bt = min(_DROP_BATCH_BLOCK, b)
+    pad = (-b) % bt
+    arrays = [q, k, v]
+    if g is not None:
+        arrays.append(g)
+    if pad:
+        arrays = [jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in arrays]
+        bias_kv = jnp.pad(bias_kv, ((0, pad), (0, 0)))
+    rows = arrays[0].shape[0]
+    q_spec = pl.BlockSpec((bt, sq, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((bt, skv, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((bt, skv), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [q_spec, kv_spec, kv_spec, m_spec, seed_spec]
+    if g is not None:
+        in_specs.append(q_spec)
+        args = (*arrays[:3], bias_kv, seed, arrays[3])
+    else:
+        args = (*arrays, bias_kv, seed)
+    out_specs, out_shapes = outs(bt, rows, sq, skv, e, q.dtype, k.dtype)
+    result = pl.pallas_call(
+        kernel,
+        grid=(rows // bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret_mode(),
+    )(*args)
+    return result, pad, b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_drop(q, k, v, bias_kv, seed, num_heads, rate):
+    d = q.shape[-1] // num_heads
+
+    def outs(bt, rows, sq, skv, e, qdt, kdt):
+        return (
+            pl.BlockSpec((bt, sq, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((rows, sq, e), qdt),
+        )
+
+    out, pad, b = _drop_call(
+        functools.partial(
+            _fused_drop_kernel, num_heads=num_heads, head_dim=d, rate=rate
+        ),
+        outs, q, k, v, bias_kv, seed,
+    )
+    return out[:b] if pad else out
+
+
+def _fused_drop_fwd(q, k, v, bias_kv, seed, num_heads, rate):
+    return _fused_drop(q, k, v, bias_kv, seed, num_heads, rate), (
+        q, k, v, bias_kv, seed,
+    )
+
+
+def _fused_drop_bwd(num_heads, rate, res, g):
+    q, k, v, bias_kv, seed = res
+    d = q.shape[-1] // num_heads
+
+    def outs(bt, rows, sq, skv, e, qdt, kdt):
+        q_spec = pl.BlockSpec((bt, sq, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((bt, skv, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        m_spec = pl.BlockSpec((bt, skv), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return (
+            (q_spec, kv_spec, kv_spec, m_spec),
+            (
+                jax.ShapeDtypeStruct((rows, sq, e), qdt),
+                jax.ShapeDtypeStruct((rows, skv, e), kdt),
+                jax.ShapeDtypeStruct((rows, skv, e), kdt),
+                jax.ShapeDtypeStruct((rows, skv), jnp.float32),
+            ),
+        )
+
+    (dq, dk, dv, db), pad, b = _drop_call(
+        functools.partial(
+            _fused_drop_bwd_kernel, num_heads=num_heads, head_dim=d, rate=rate
+        ),
+        outs, q, k, v, bias_kv, seed, g=g.astype(q.dtype),
+    )
+    if pad:
+        dq, dk, dv, db = dq[:b], dk[:b], dv[:b], db[:b]
+    return dq, dk, dv, db.astype(bias_kv.dtype), None
+
+
+_fused_drop.defvjp(_fused_drop_fwd, _fused_drop_bwd)
+
+
+def fused_attention_dropout(
+    q, k, v, bias=None, *, num_heads: int, rate: float, rng,
+):
+    """Fused attention with in-kernel attention-prob dropout.
+
+    ``rng`` is a JAX PRNG key; each call derives one int32 seed (the
+    kernel adds the grid index).  TPU-only — callers fall back to the
+    explicit-probs path elsewhere.  The dropout stream differs from
+    flax's ``nn.Dropout`` (TPU hardware PRNG vs threefry) but has the
+    same (rate, 1/(1-rate)) Bernoulli semantics.
+    """
+    b, _, _ = q.shape
+    skv = k.shape[1]
+    if bias is None:
+        bias_kv = jnp.zeros((b, skv), jnp.float32)
+    elif bias.ndim == 4:
+        bias_kv = jnp.broadcast_to(bias[:, 0, 0, :], (b, skv)).astype(jnp.float32)
+    else:
+        bias_kv = jnp.broadcast_to(bias, (b, skv)).astype(jnp.float32)
+    seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+    return _fused_drop(q, k, v, bias_kv, seed, num_heads, float(rate))
+
+
 def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = False):
     """Attention on the natural (B, S, H*D) layout.
 

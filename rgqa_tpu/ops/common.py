@@ -30,3 +30,10 @@ def pallas_enabled() -> bool:
 def interpret_mode() -> bool:
     """Run Pallas kernels in interpreter mode (for CPU testing)."""
     return jax.default_backend() != "tpu"
+
+
+@lru_cache(maxsize=1)
+def dropout_kernel_enabled() -> bool:
+    """The in-kernel dropout PRNG (``pltpu.prng_seed``) has no CPU
+    interpreter lowering — hardware TPU only."""
+    return pallas_enabled() and jax.default_backend() == "tpu"

@@ -111,12 +111,12 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
     the per-pass argmaxes, score = mean of per-pass max-sigmoid.
 
     The reference loops over seeds re-enabling dropout modules; here the
-    stochastic passes are a ``vmap`` over dropout rngs — one compiled
-    program, batched over the seed axis.  Vote ties break toward the first
-    pass's answer (the reference's ``Counter.most_common`` insertion-order
-    behavior), then toward the lower class index.
+    stochastic passes unroll into one compiled program (the seed list is
+    static).  Vote ties break toward the first pass's answer (the
+    reference's ``Counter.most_common`` insertion-order behavior), then
+    toward the lower class index.
     """
-    seeds = jnp.asarray(list(seed_list), jnp.uint32)
+    seeds = [int(s) for s in seed_list]
 
     @jax.jit
     def score_fn(params, batch):
@@ -129,7 +129,7 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
             )
             return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
 
-        probs = jax.vmap(one_pass)(seeds)  # (S, B, A)
+        probs = jnp.stack([one_pass(s) for s in seeds])  # (S, B, A)
         labels = jnp.argmax(probs, axis=-1)  # (S, B)
         num_answers = probs.shape[-1]
         votes = jnp.sum(jax.nn.one_hot(labels, num_answers), axis=0)  # (B, A)

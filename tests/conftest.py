@@ -19,8 +19,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# RGQA_TEST_TPU=1 leaves the real TPU backend in place (for the few tests
+# that need hardware-only features, e.g. the in-kernel dropout PRNG).
+if not os.environ.get("RGQA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

@@ -133,3 +133,58 @@ class TestAttentionBlockFusion:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(slow), atol=1e-5
         )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng has no CPU interpreter lowering; "
+    "run with RGQA_TEST_TPU=1 on hardware",
+)
+class TestDropoutKernel:
+    """In-kernel attention-prob dropout (training / MC-dropout path).
+
+    Verified on the real chip (RGQA_TEST_TPU=1): rate-0 equivalence with
+    the plain kernel (fwd + grad), per-seed determinism, cross-seed
+    variation, and backward mask replay.
+    """
+
+    def _inputs(self, b=6):
+        q, k, v, bias = _inputs(b=b)
+        seed = jnp.array([1234], jnp.int32)
+        return q, k, v, bias, seed
+
+    def test_rate_zero_equals_plain_kernel(self):
+        from rgqa_tpu.ops.attention import _fused, _fused_drop
+
+        q, k, v, bias, seed = self._inputs()
+        out = _fused_drop(q, k, v, bias, seed, H, 0.0)
+        ref = _fused(q, k, v, bias, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_seed_determinism_and_variation(self):
+        from rgqa_tpu.ops.attention import _fused_drop
+
+        q, k, v, bias, seed = self._inputs()
+        a = _fused_drop(q, k, v, bias, seed, H, 0.5)
+        b2 = _fused_drop(q, k, v, bias, seed, H, 0.5)
+        c = _fused_drop(q, k, v, bias, jnp.array([77], jnp.int32), H, 0.5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_backward_seed_replay(self):
+        # The backward regenerates the forward's mask: rate-0 grads match
+        # the plain kernel exactly; dropout grads are deterministic.
+        from rgqa_tpu.ops.attention import _fused, _fused_drop
+
+        q, k, v, bias, seed = self._inputs(b=4)
+
+        def loss(fn, *a):
+            return jnp.sum(jnp.square(fn(*a)))
+
+        g0 = jax.grad(lambda q: loss(_fused_drop, q, k, v, bias, seed, H, 0.0))(q)
+        gp = jax.grad(lambda q: loss(_fused, q, k, v, bias, H))(q)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(gp), atol=1e-4)
+        g5 = jax.grad(lambda q: loss(_fused_drop, q, k, v, bias, seed, H, 0.5))(q)
+        g5b = jax.grad(lambda q: loss(_fused_drop, q, k, v, bias, seed, H, 0.5))(q)
+        assert np.isfinite(np.asarray(g5)).all()
+        np.testing.assert_array_equal(np.asarray(g5), np.asarray(g5b))
