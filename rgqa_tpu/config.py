@@ -308,6 +308,8 @@ def _build_parser() -> argparse.ArgumentParser:
     # Accepted for script compatibility; multi-device use is controlled by
     # the mesh, not this flag.
     p.add_argument("--multiGPU", action="store_true")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="tensor-parallel mesh axis size (devices per model shard)")
     p.add_argument("--tqdm", action="store_true")
     return p
 
@@ -333,6 +335,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
         attention_dropout=ns.dropout,
     )
     cfg = RunConfig(
+        mesh=MeshConfig(model_axis=ns.model_axis),
         model=ModelConfig(
             backbone=ns.backbone,
             encoder=encoder,
