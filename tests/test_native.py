@@ -86,12 +86,21 @@ class TestNativeDecoder:
         path = str(tmp_path / "big.tsv")
         _write_tsv(path, n_rows=80, feat_dim=512)
 
-        t0 = time.perf_counter()
-        native_lib.decode_obj_tsv_native(path, num_boxes=36, feat_dim=512)
-        t_native = time.perf_counter() - t0
+        def best_of(fn, n=3):
+            times = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                times.append(time.perf_counter() - t0)
+            return min(times)
 
-        t0 = time.perf_counter()
-        load_obj_tsv(path)
-        t_python = time.perf_counter() - t0
+        # Warm both paths once (page cache, lazy imports), then best-of-3:
+        # single-run timings on this 1-core box are noisy enough to flip.
+        t_native = best_of(
+            lambda: native_lib.decode_obj_tsv_native(
+                path, num_boxes=36, feat_dim=512
+            )
+        )
+        t_python = best_of(lambda: load_obj_tsv(path))
         # The native pass should win comfortably; allow slack for CI noise.
         assert t_native < t_python * 1.5, (t_native, t_python)

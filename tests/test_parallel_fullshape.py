@@ -83,3 +83,76 @@ class TestInitializeMultihost:
         monkeypatch.setattr(jax, "local_device_count", lambda: 3)
         with pytest.raises(ValueError, match="must divide local device"):
             global_mesh(model=2)
+
+
+class TestTwoProcessDistributed:
+    @pytest.mark.slow
+    def test_two_process_cpu_psum(self, tmp_path):
+        """Real jax.distributed bring-up: two local CPU processes join via
+        initialize_multihost(coordinator, 2, pid), build the global mesh,
+        and psum across processes (SURVEY §2.3 multi-host path)."""
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        prog = textwrap.dedent(
+            """
+            import sys
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 2)
+            from rgqa_tpu.parallel.distributed import (
+                global_mesh, initialize_multihost,
+            )
+            pid = int(sys.argv[1])
+            initialize_multihost(
+                coordinator_address="127.0.0.1:%d",
+                num_processes=2, process_id=pid,
+            )
+            assert jax.process_count() == 2, jax.process_count()
+            assert jax.device_count() == 4, jax.device_count()
+            mesh = global_mesh(model=1)
+            assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+                "data": 4, "model": 1,
+            }
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            @jax.jit
+            def total(x):
+                return jax.lax.with_sharding_constraint(
+                    jnp.sum(x) * jnp.ones(()), NamedSharding(mesh, P())
+                )
+
+            # global array: each process contributes its local shard
+            local = jnp.full((2, 4), float(pid + 1))  # 2 shards/process
+            garr = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data")), local, (4, 4)
+            )
+            out = float(total(garr))
+            assert out == (1.0 + 2.0) * 2 * 4, out  # 2 shards each per proc
+            print("OK", pid, out)
+            """ % port
+        )
+        env = dict(
+            __import__("os").environ,
+            RGQA_TEST_TPU="",
+            JAX_PLATFORMS="",
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", prog, str(pid)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+            assert "OK" in out

@@ -116,7 +116,7 @@ def test_generated_script_runs_e2e(tmp_path):
     r = subprocess.run(
         ["sh", os.path.join(REPO, "scripts", "butd", "train", "vanilla.sh")]
         + tiny,
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isdir(os.path.join(out, "butd", "vanilla", "LAST"))
@@ -124,7 +124,7 @@ def test_generated_script_runs_e2e(tmp_path):
     r = subprocess.run(
         ["sh", os.path.join(REPO, "scripts", "butd", "test", "msp.sh")]
         + tiny,
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     for subset in ("ClipEasy", "ClipHard", "PTEasy", "PTHard"):

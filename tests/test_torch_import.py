@@ -25,9 +25,15 @@ from rgqa_tpu.models.zoo import build_model, example_batch
 
 
 def _stub_boto3():
+    import importlib.machinery
+
     for name in ("boto3", "botocore", "botocore.exceptions"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            m = types.ModuleType(name)
+            # transformers probes availability via importlib.util.find_spec;
+            # a spec-less stub raises ValueError there.
+            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = m
     if not hasattr(sys.modules["botocore.exceptions"], "ClientError"):
         sys.modules["botocore.exceptions"].ClientError = Exception
     sys.modules["boto3"].client = lambda *a, **k: None
