@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rgqa_tpu.ops.common import interpret_mode, pallas_enabled
 
-__all__ = ["fused_attention", "multi_head_attention", "attention_probs"]
+__all__ = [
+    "fused_attention",
+    "fused_attention_dropout",
+    "multi_head_attention",
+    "attention_probs",
+    "bias_vector",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -534,3 +540,21 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
     if force_xla or not pallas_enabled():
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     return _fused(q, k, v, bias_kv, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# Packed-buffer entry points: the AttentionBlock's fused QKV (or KV) matmul
+# produces one (B, S, 3E) (or (B, Skv, 2E)) buffer; passing it straight to
+# the kernel and column-slicing inside avoids materializing the three
+# jnp.split copies as separate pallas operands (3 x ~12 MB HBM round trips
+# per attention op at batch 384).  Backward writes one packed gradient.
+# ---------------------------------------------------------------------------
+
+
+def bias_vector(bias, b, skv):
+    """Normalize an additive mask to the kernels' (B, Skv) f32 form."""
+    if bias is None:
+        return jnp.zeros((b, skv), jnp.float32)
+    if bias.ndim == 4:
+        return jnp.broadcast_to(bias[:, 0, 0, :], (b, skv)).astype(jnp.float32)
+    return jnp.broadcast_to(bias, (b, skv)).astype(jnp.float32)
