@@ -28,6 +28,26 @@ def main():
     from rgqa_tpu.models.zoo import build_model, example_batch
 
     cfg = ModelConfig(backbone="lxmert")
+    if os.environ.get("RGQA_BENCH_TINY"):
+        # CPU-testable smoke shape: guards the driver-run contract
+        # (tests/test_bench_smoke.py) without full-size compiles.
+        # (env-var platform selection is dead here — sitecustomize imports
+        # jax first — so retarget via jax.config, as tests/conftest does.)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        from rgqa_tpu.config import EncoderConfig
+
+        cfg = ModelConfig(
+            backbone="lxmert",
+            encoder=EncoderConfig(
+                hidden_size=32, num_heads=4, intermediate_size=64,
+                vocab_size=128, l_layers=1, x_layers=1, r_layers=1,
+                num_objects=4, visual_feat_dim=16,
+            ),
+            num_answers=8, max_text_len=6,
+        )
     model, forward = build_model(cfg, use_bf16=True)
 
     # 384 is the throughput/compile-time sweet spot over the tunnel:

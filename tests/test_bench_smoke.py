@@ -1,0 +1,47 @@
+"""Driver-contract smoke tests for the committed benchmark scripts.
+
+The driver runs ``bench.py`` cold at the end of every round and records
+its single JSON line; a bit-rotted bench loses the round's artifact.
+These run each bench's full code path at RGQA_BENCH_TINY shapes on CPU
+and validate the output contract.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, extra_env=None):
+    env = dict(
+        os.environ, RGQA_BENCH_TINY="1", RGQA_BENCH_BATCH="8",
+        RGQA_BENCH_ITERS="2", **(extra_env or {}),
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, script)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_bench_contract():
+    out = _run("bench.py")
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["unit"] == "questions/sec/chip"
+    assert out["value"] > 0
+
+
+def test_bench_scorers_contract():
+    out = _run("bench_scorers.py", {"RGQA_BENCH_SCORERS": "msp,energy"})
+    assert out["unit"] == "questions/sec/chip"
+    assert out["msp"] > 0 and out["energy"] > 0
+
+
+def test_bench_train_contract():
+    out = _run("bench_train.py")
+    assert out["unit"] == "examples/sec/chip"
+    assert out["examples_per_sec"] > 0 and out["step_ms"] > 0
