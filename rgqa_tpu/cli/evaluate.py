@@ -65,9 +65,12 @@ def main(argv=None):
             # (--clip_path) over <data_root>/images/<img_id>.jpg.
             from rgqa_tpu.scorers.clip import ClipScorer
 
-            scorer = ClipScorer(
-                ns.clip_path or "openai/clip-vit-base-patch32"
-            )
+            if not ns.clip_path:
+                raise SystemExit(
+                    "--scorer clip needs --clip_path <local CLIP checkpoint "
+                    "dir> (zero-egress: no hub downloads)"
+                )
+            scorer = ClipScorer(ns.clip_path)
             results = runner.clip_ood_evaluate(
                 encoded,
                 scorer.scores,

@@ -8,7 +8,7 @@ transformer blocks — the same encoder code path as LXMERT/UNITER.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

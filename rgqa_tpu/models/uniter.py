@@ -10,7 +10,7 @@ vendored BERT copy.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import numpy as np

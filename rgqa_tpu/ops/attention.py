@@ -12,8 +12,9 @@ layout** (B, S, H*D) with a (B, S_kv) additive mask vector: one grid cell
 loads a batch-block into VMEM, loops the 12 heads over column slices, and
 runs QK^T -> +bias -> softmax -> PV per head entirely VMEM-resident with
 f32 accumulation.  No transposes, no (B, H, Sq, Skv) bias materialisation,
-no HBM round-trips.  Measured: 230/273/255 us for the same shapes at
-block 16 — ~2x on self-attention, 3.4x on cross-attention.
+no HBM round-trips.  Measured at the shipped block size 32:
+212/261/237 us for the same shapes — ~2x on self-attention, 3.4x on
+cross-attention (full table: docs/kernels.md).
 
 Autodiff: the kernel carries a ``jax.custom_vjp`` whose backward is a
 second Pallas kernel (recompute-based: dP = gV^T, dV = P^Tg,
@@ -512,12 +513,7 @@ def fused_attention_dropout(
     """
     b, _, _ = q.shape
     skv = k.shape[1]
-    if bias is None:
-        bias_kv = jnp.zeros((b, skv), jnp.float32)
-    elif bias.ndim == 4:
-        bias_kv = jnp.broadcast_to(bias[:, 0, 0, :], (b, skv)).astype(jnp.float32)
-    else:
-        bias_kv = jnp.broadcast_to(bias, (b, skv)).astype(jnp.float32)
+    bias_kv = bias_vector(bias, b, skv)
     seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
     return _fused_drop(q, k, v, bias_kv, seed, num_heads, float(rate))
 
@@ -533,24 +529,10 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
     """
     b, _, _ = q.shape
     skv = k.shape[1]
-    if bias is None:
-        bias_kv = jnp.zeros((b, skv), jnp.float32)
-    elif bias.ndim == 4:
-        bias_kv = jnp.broadcast_to(bias[:, 0, 0, :], (b, skv)).astype(jnp.float32)
-    else:
-        bias_kv = jnp.broadcast_to(bias, (b, skv)).astype(jnp.float32)
+    bias_kv = bias_vector(bias, b, skv)
     if force_xla or not pallas_enabled():
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     return _fused(q, k, v, bias_kv, num_heads)
-
-
-# ---------------------------------------------------------------------------
-# Packed-buffer entry points: the AttentionBlock's fused QKV (or KV) matmul
-# produces one (B, S, 3E) (or (B, Skv, 2E)) buffer; passing it straight to
-# the kernel and column-slicing inside avoids materializing the three
-# jnp.split copies as separate pallas operands (3 x ~12 MB HBM round trips
-# per attention op at batch 384).  Backward writes one packed gradient.
-# ---------------------------------------------------------------------------
 
 
 def bias_vector(bias, b, skv):
