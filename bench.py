@@ -27,7 +27,8 @@ def main():
     from rgqa_tpu.config import ModelConfig
     from rgqa_tpu.models.zoo import build_model, example_batch
 
-    cfg = ModelConfig(backbone="lxmert")
+    backbone = os.environ.get("RGQA_BENCH_BACKBONE", "lxmert")
+    cfg = ModelConfig(backbone=backbone)
     if os.environ.get("RGQA_BENCH_TINY"):
         # CPU-testable smoke shape: guards the driver-run contract
         # (tests/test_bench_smoke.py) without full-size compiles.
@@ -40,7 +41,7 @@ def main():
         from rgqa_tpu.config import EncoderConfig
 
         cfg = ModelConfig(
-            backbone="lxmert",
+            backbone=backbone,
             encoder=EncoderConfig(
                 hidden_size=32, num_heads=4, intermediate_size=64,
                 vocab_size=128, l_layers=1, x_layers=1, r_layers=1,
@@ -58,14 +59,15 @@ def main():
     host["feats"] = host["feats"].astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
 
-    params = model.init(
-        jax.random.PRNGKey(0),
-        batch["input_ids"][:2],
-        batch["input_mask"][:2],
-        batch["segment_ids"][:2],
-        batch["feats"][:2],
-        batch["boxes"][:2],
-    )["params"]
+    init_args = (
+        (batch["token_ids"][:2], batch["feats"][:2], batch["boxes"][:2])
+        if backbone == "butd"
+        else (
+            batch["input_ids"][:2], batch["input_mask"][:2],
+            batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
     # Inference serves from bf16 weights: halves HBM weight traffic
     # (training keeps f32 master params; this is the serving path).
     params = jax.tree_util.tree_map(
@@ -96,10 +98,12 @@ def main():
 
         def body(carry, _):
             b = dict(batch)
-            b["input_ids"] = batch["input_ids"] + (carry[:, None] % 2).astype(
+            ids_key = "token_ids" if backbone == "butd" else "input_ids"
+            b[ids_key] = batch[ids_key] + (carry[:, None] % 2).astype(
                 jnp.int32
             )
-            out = forward(params, b, deterministic=True, use_fused=use_fused)
+            kw = {} if backbone == "butd" else {"use_fused": use_fused}
+            out = forward(params, b, deterministic=True, **kw)
             probs = jax.nn.sigmoid(out["logits"].astype(jnp.float32))
             return jnp.argmax(probs, axis=-1).astype(jnp.int32), None
 
@@ -120,7 +124,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "lxmert_gqa_inference_throughput",
+                "metric": f"{backbone}_gqa_inference_throughput",
                 "value": round(qps, 1),
                 "unit": "questions/sec/chip",
                 "vs_baseline": round(qps / BASELINE_QPS, 3),
