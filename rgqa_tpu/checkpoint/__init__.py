@@ -9,6 +9,7 @@ from rgqa_tpu.checkpoint.orbax_io import (
     load_checkpoint,
     load_params,
     save_checkpoint,
+    wait_for_saves,
     save_params,
 )
 from rgqa_tpu.checkpoint.torch_import import (
@@ -27,6 +28,7 @@ from rgqa_tpu.checkpoint.torch_import import (
 
 __all__ = [
     "save_checkpoint",
+    "wait_for_saves",
     "load_checkpoint",
     "save_params",
     "load_params",

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rgqa_tpu.checkpoint import save_checkpoint
+from rgqa_tpu.checkpoint import save_checkpoint, wait_for_saves
 from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import (
     EncodedGQA,
@@ -238,6 +238,11 @@ class PretrainRunner:
             )
             if avg < best_eval:
                 best_eval = avg
-                save_checkpoint(self.output, "BEST_EVAL_LOSS", state)
-            save_checkpoint(self.output, f"Epoch{epoch:02d}", state)
+                save_checkpoint(
+                    self.output, "BEST_EVAL_LOSS", state, async_save=True
+                )
+            save_checkpoint(
+                self.output, f"Epoch{epoch:02d}", state, async_save=True
+            )
+        wait_for_saves()
         return history

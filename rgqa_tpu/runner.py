@@ -35,6 +35,7 @@ from rgqa_tpu.checkpoint import (
     import_uniter_gqa,
     load_checkpoint,
     save_checkpoint,
+    wait_for_saves,
 )
 from rgqa_tpu.config import ModelConfig, RunConfig
 from rgqa_tpu.data import (
@@ -433,13 +434,13 @@ class GQARunner:
                 history["valid"].append(valid)
                 if valid > best_valid:
                     best_valid = valid
-                    self.save("BEST", state)
+                    self.save("BEST", state, async_save=True)
                 log_str += (
                     f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
                     f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
                 )
             if tcfg.save_all:
-                self.save(f"EPOCH_{epoch}", state)
+                self.save(f"EPOCH_{epoch}", state, async_save=True)
             print(log_str, end="", flush=True)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_str)
@@ -450,6 +451,7 @@ class GQARunner:
                     pickle.dump(quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL)
 
         self.save("LAST", state)
+        wait_for_saves()
         return history
 
     def _weight_similarity(self):
@@ -541,12 +543,13 @@ class GQARunner:
                 history["valid"].append(valid)
                 if valid > best_valid:
                     best_valid = valid
-                    self.save("BEST", state)
+                    self.save("BEST", state, async_save=True)
                 log_str += f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
             print(log_str, end="", flush=True)
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_str)
         self.save("LAST", state)
+        wait_for_saves()
         return history
 
     def gated_ood_evaluate(
@@ -940,8 +943,15 @@ class GQARunner:
     # Checkpointing
     # ------------------------------------------------------------------
 
-    def save(self, name: str, state=None) -> str:
-        return save_checkpoint(self.output, name, state if state is not None else self.params)
+    def save(self, name: str, state=None, *, async_save: bool = False) -> str:
+        """Per-epoch saves run async (background commit thread) so the
+        device keeps training while params serialize; loads and
+        wait_for_saves() barrier on them."""
+        return save_checkpoint(
+            self.output, name,
+            state if state is not None else self.params,
+            async_save=async_save,
+        )
 
     def load(self, path: str) -> None:
         """Load an orbax checkpoint dir or a reference ``.pth``."""

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rgqa_tpu.checkpoint import load_checkpoint, save_checkpoint
+from rgqa_tpu.checkpoint import load_checkpoint, save_checkpoint, wait_for_saves
 from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import PackedFeatures, WordPieceTokenizer
 from rgqa_tpu.data.dataset import EncodedGQA, GQADataset, build_targets
@@ -286,7 +286,9 @@ class VQARunner:
                 history["valid"].append(valid_score)
                 if valid_score > best_valid:
                     best_valid = valid_score
-                    save_checkpoint(self.output, "BEST", state)
+                    save_checkpoint(
+                        self.output, "BEST", state, async_save=True
+                    )
                 log_str += (
                     f"Epoch {epoch}: Valid {valid_score * 100.0:0.2f}\n"
                     f"Epoch {epoch}: Best {best_valid * 100.0:0.2f}\n"
@@ -295,6 +297,7 @@ class VQARunner:
             with open(os.path.join(self.output, "log.log"), "a") as f:
                 f.write(log_str)
         save_checkpoint(self.output, "LAST", state)
+        wait_for_saves()
         return history
 
     def predict(self, split: str, dump: Optional[str] = None) -> dict:

@@ -304,3 +304,25 @@ class TestMixupVariants:
         pet2 = np.asarray(out2["target"][4:])
         np.testing.assert_allclose(pet2[:, -1], 1.0)
         np.testing.assert_allclose(pet2[:, :-1], 0.0)
+
+
+class TestAsyncCheckpointing:
+    def test_async_save_load_roundtrip(self, tmp_path):
+        """Async saves commit on a background thread; loads barrier on
+        them (SURVEY §5 preemption-coverage pattern)."""
+        import jax.numpy as jnp
+
+        from rgqa_tpu.checkpoint import (
+            load_checkpoint, save_checkpoint, wait_for_saves,
+        )
+
+        params = {"w": jnp.arange(8.0), "b": jnp.ones((3,))}
+        save_checkpoint(str(tmp_path), "ASYNC", params, async_save=True)
+        # load_checkpoint must wait for the in-flight commit itself
+        restored = load_checkpoint(str(tmp_path), "ASYNC")["params"]
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"]), np.arange(8.0)
+        )
+        # explicit barrier is also fine to call repeatedly
+        wait_for_saves()
+        wait_for_saves()
