@@ -37,7 +37,7 @@ from rgqa_tpu.checkpoint import (
     save_checkpoint,
     wait_for_saves,
 )
-from rgqa_tpu.config import ModelConfig, RunConfig
+from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import (
     EncodedGQA,
     GQADataset,

@@ -6,7 +6,6 @@ front-padded tokenizer convention.
 """
 
 import sys
-import types
 
 import numpy as np
 import pytest

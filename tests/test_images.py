@@ -1,6 +1,5 @@
 """Raw-image pipeline, pseudo-labels, prepare_data CLI, GloVe loader."""
 
-import base64
 import json
 import os
 

@@ -1,7 +1,6 @@
 """Native C++ TSV decoder: parity with the numpy reference path + speed."""
 
 import base64
-import os
 import time
 
 import numpy as np

@@ -4,7 +4,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from rgqa_tpu.data.parse import (
     encode_parse_spans,

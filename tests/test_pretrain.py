@@ -15,7 +15,7 @@ from rgqa_tpu.config import (
     TrainConfig,
 )
 from rgqa_tpu.pretrain import AnswerTable, mask_objects, mask_words, matched_swap
-from rgqa_tpu.pretrain.losses import masked_ce, pretrain_loss, smooth_l1
+from rgqa_tpu.pretrain.losses import masked_ce, smooth_l1
 
 
 class TestMasking:

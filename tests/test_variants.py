@@ -1,6 +1,5 @@
 """Model/driver variants: branched-layer head, UQ-as-class mode, resume."""
 
-import os
 
 import numpy as np
 import pytest

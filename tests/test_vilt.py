@@ -1,7 +1,6 @@
 """ViLT backbone tests."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
