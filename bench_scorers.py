@@ -15,6 +15,13 @@ the single-pass and grad-at-eval scorers.
 
 Env: RGQA_BENCH_BATCH (default 384), RGQA_BENCH_ITERS (default 8),
 RGQA_BENCH_SCORERS (comma list to subset, e.g. "msp,odin").
+
+RGQA_BENCH_PRODUCTION=1 additionally times the *production* loop shape —
+``GQARunner.score_split``'s actual pipeline (host batches ->
+``device_prefetch`` -> per-batch jit dispatch -> ``pipelined_map``
+lag-4 output fetch) — as ``{name}_prod``, plus the old synchronous
+fetch-every-batch loop as ``{name}_sync`` for comparison.  These measure
+what the chained-scan numbers leave out: per-batch dispatch + tunnel RTT.
 """
 
 from __future__ import annotations
@@ -129,6 +136,47 @@ def main():
         np.asarray(score_n(params, batch, carry, iters))
         elapsed = time.perf_counter() - start
         results[name] = round(batch_size * iters / elapsed, 1)
+
+    if os.environ.get("RGQA_BENCH_PRODUCTION"):
+        from rgqa_tpu.data.batching import device_prefetch, pipelined_map
+
+        n_batches = int(os.environ.get("RGQA_BENCH_PROD_BATCHES", "16"))
+        host_batches = []
+        for i in range(n_batches):
+            hb = dict(host)
+            hb["input_ids"] = host["input_ids"] + np.int32(i % 2)
+            host_batches.append(([f"b{i}"], hb, batch_size))
+
+        keys = ("label", "score")
+        for name in which:
+            score_fn = scorers[name]()
+
+            def select_fn(b, score_fn=score_fn):
+                out = score_fn(params, b)
+                return {k: out[k] for k in keys if k in out}
+
+            def run_pipelined():
+                count = 0
+                for _, out, real in pipelined_map(
+                    select_fn, device_prefetch(iter(host_batches), None)
+                ):
+                    count += len(out["label"])
+                return count
+
+            def run_sync():
+                count = 0
+                for _, b, real in device_prefetch(iter(host_batches), None):
+                    out = select_fn(b)
+                    fetched = {k: np.asarray(v) for k, v in out.items()}
+                    count += len(fetched["label"])
+                return count
+
+            for mode, fn in (("prod", run_pipelined), ("sync", run_sync)):
+                fn()  # warmup/compile
+                start = time.perf_counter()
+                count = fn()
+                elapsed = time.perf_counter() - start
+                results[f"{name}_{mode}"] = round(count / elapsed, 1)
 
     print(json.dumps(results))
 

@@ -9,15 +9,21 @@ batch is device_put while the current step runs.  Shapes are static
 
 from __future__ import annotations
 
+import collections
 import threading
 import queue as _queue
-from typing import Any, Iterator, Optional
+from typing import Any, Callable, Iterator, Optional
 
 import numpy as np
 
 from rgqa_tpu.parallel import pad_batch_to, shard_batch
 
-__all__ = ["batch_indices", "batch_iterator", "device_prefetch"]
+__all__ = [
+    "batch_indices",
+    "batch_iterator",
+    "device_prefetch",
+    "pipelined_map",
+]
 
 
 def batch_indices(
@@ -106,3 +112,39 @@ def device_prefetch(
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def pipelined_map(
+    step_fn: Callable[[Any], Any],
+    batches: Iterator[tuple[list[str], Any, int]],
+    *,
+    lag: int = 4,
+) -> Iterator[tuple[list[str], Any, int]]:
+    """Dispatch ``step_fn`` over batches, fetching outputs ``lag`` behind.
+
+    JAX dispatch is async: ``step_fn(batch)`` returns device buffers
+    immediately while the program queues on the device.  Fetching the
+    result with ``np.asarray`` right away (as a naive eval loop does)
+    serializes dispatch -> device compute -> host transfer per batch —
+    on a tunneled TPU that stalls the device for a full RTT every batch.
+    Keeping a ``lag``-deep queue of in-flight outputs lets the host
+    transfer of batch ``i`` overlap the device compute of batches
+    ``i+1 .. i+lag`` (the output analogue of :func:`device_prefetch`;
+    replaces the reference's synchronous eval loops,
+    ``src/tasks/gqa_conf.py:297-333``).
+
+    Yields ``(question_ids, host_outputs, real_count)`` in input order;
+    ``host_outputs`` is ``step_fn``'s pytree with every leaf as numpy.
+    """
+    import jax
+
+    fetch = lambda out: jax.tree_util.tree_map(np.asarray, out)
+    pending: collections.deque = collections.deque()
+    for qids, batch, real in batches:
+        pending.append((qids, step_fn(batch), real))
+        if len(pending) > lag:
+            qids0, out0, real0 = pending.popleft()
+            yield qids0, fetch(out0), real0
+    while pending:
+        qids0, out0, real0 = pending.popleft()
+        yield qids0, fetch(out0), real0

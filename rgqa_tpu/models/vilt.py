@@ -33,7 +33,7 @@ from rgqa_tpu.models.transformer import (
     gelu,
     mask_to_bias,
 )
-from rgqa_tpu.ops.attention import multi_head_attention
+from rgqa_tpu.ops.attention import fused_attention
 
 __all__ = ["ViltForGQA", "ViltAnswerHead", "ViTBlock", "PatchEmbed"]
 
@@ -69,19 +69,22 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, bias=None, *, deterministic: bool = True):
         c = self.cfg
-        b, s, _ = x.shape
 
         h = LayerNorm(eps=1e-6, name="norm1")(x)
 
-        def proj(name, inp):
-            y = nn.Dense(
+        def proj(name):
+            return nn.Dense(
                 c.hidden_size, kernel_init=dense_init, name=name, dtype=self.dtype
-            )(inp)
-            return y.reshape(b, s, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+            )(h)
 
-        q, k, v = proj("query", h), proj("key", h), proj("value", h)
-        ctx = multi_head_attention(q, k, v, bias, force_xla=True)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, c.hidden_size)
+        # Natural-layout fused attention (ops/attention.py): no
+        # (B, S, E) -> (B, H, S, D) transposes around the head einsums.
+        # At ViLT's 185-token stream the kernel auto-fits its batch block
+        # to VMEM (block 8 vs LXMERT's 32).
+        ctx = fused_attention(
+            proj("query"), proj("key"), proj("value"), bias,
+            num_heads=c.num_heads,
+        )
         ctx = nn.Dense(
             c.hidden_size, kernel_init=dense_init, name="att_out", dtype=self.dtype
         )(ctx)

@@ -111,6 +111,34 @@ _BATCH_BLOCK = 32  # samples per grid cell; best of {8,16,32} on v5e
 # 8 (ODIN 3152 vs 3084 q/s model-wide).
 _BWD_BATCH_BLOCK = 16
 
+# VMEM budget the block-fit loop targets.  The defaults above are the
+# measured optima for RGQA's 20/36-token shapes and are kept verbatim
+# (the estimate keeps them under budget); longer streams — ViLT's
+# 40 text + 145 patch tokens = 185 — halve the block until the
+# per-grid-cell footprint fits.
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
+               itemsize: int, *, bwd: bool = False) -> int:
+    """Largest power-of-two block <= default whose VMEM footprint fits.
+
+    Footprint per grid cell ~= the in/out tensor slices
+    (q/o rows at sq, k/v rows at skv; backward adds g/dq/dk/dv) plus the
+    f32 score/prob scratch the compiler keeps live (~3 fwd / ~8 bwd
+    (Bt, Sq, Skv) buffers, calibrated against the measured 19.4 MB
+    backward block-32 overflow)."""
+
+    def est(bt):
+        io = bt * e * itemsize * ((3 * sq + 4 * skv) if bwd else (2 * sq + 2 * skv))
+        scratch = bt * sq * skv * 4 * (8 if bwd else 3)
+        return io + scratch
+
+    bt = min(default, b)
+    while bt > 1 and est(bt) > _VMEM_BUDGET:
+        bt //= 2
+    return bt
+
 
 def _fused_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, num_heads, head_dim):
     """One batch-block: per-head VMEM-resident softmax(qk^T*scale + bias)v.
@@ -148,7 +176,7 @@ def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
-    bt = min(_BATCH_BLOCK, b)
+    bt = _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -244,7 +272,7 @@ def _fused_bwd_pallas_raw(q, k, v, bias_kv, g, num_heads):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
-    bt = min(_BWD_BATCH_BLOCK, b)
+    bt = _fit_block(_BWD_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize, bwd=True)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -412,7 +440,9 @@ def _fused_drop_bwd_kernel(
 def _drop_call(kernel, outs, q, k, v, bias_kv, seed, g=None):
     b, sq, e = q.shape
     skv = k.shape[1]
-    bt = min(_DROP_BATCH_BLOCK, b)
+    # Forward and backward MUST agree on the block (seed replay is per
+    # program_id), so both fit against the larger backward footprint.
+    bt = _fit_block(_DROP_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize, bwd=True)
     pad = (-b) % bt
     arrays = [q, k, v]
     if g is not None:

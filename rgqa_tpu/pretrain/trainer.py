@@ -156,6 +156,10 @@ class PretrainRunner:
             dtype=jnp.bfloat16 if cfg.train.use_bf16 else jnp.float32,
         )
         self.mesh = make_mesh(model=cfg.mesh.model_axis)
+        self._ans_cache: dict[int, np.ndarray] = {
+            id(self.train_set): self._answer_ids(self.train_set),
+            id(self.valid_set): self._answer_ids(self.valid_set),
+        }
         b = self._host_batch(self.train_set, np.arange(2))
         params = self.model.init(
             jax.random.PRNGKey(cfg.train.seed),
@@ -167,30 +171,55 @@ class PretrainRunner:
         self.output = cfg.output
         os.makedirs(self.output, exist_ok=True)
 
-    def _host_batch(self, encoded: EncodedGQA, idx: np.ndarray) -> dict:
-        batch = encoded.gather_batch(idx, with_target=False)
-        rows = encoded.img_row[idx]
-        batch["obj_id"] = np.asarray(self.features.objects_id[rows], np.int32)
-        batch["attr_id"] = np.asarray(self.features.attrs_id[rows], np.int32)
-        ans = np.full((len(idx),), -1, np.int32)
-        for j, i in enumerate(idx):
+    def _answer_ids(self, encoded: EncodedGQA) -> np.ndarray:
+        """Per-row pretraining answer ids, computed once at encode time
+        (the reference redoes the ans -> id lookup per batch,
+        ``lxmert_pretrain.py:239-247``)."""
+        ans = np.full((len(encoded),), -1, np.int32)
+        for i in range(len(encoded)):
             li = encoded.label_idx[i, 0]
             if li >= 0:
                 s = encoded.dataset.label2ans[li]
                 key = self.answer_table.convert_ans(s)
                 if self.answer_table.used(key):
-                    ans[j] = self.answer_table.ans2id(key)
-        batch["ans"] = ans
+                    ans[i] = self.answer_table.ans2id(key)
+        return ans
+
+    def _host_batch(self, encoded: EncodedGQA, idx: np.ndarray) -> dict:
+        batch = encoded.gather_batch(idx, with_target=False)
+        rows = encoded.img_row[idx]
+        batch["obj_id"] = np.asarray(self.features.objects_id[rows], np.int32)
+        batch["attr_id"] = np.asarray(self.features.attrs_id[rows], np.int32)
+        batch["ans"] = self._ans_cache[id(encoded)][idx]
         return batch
 
+    class _FeedView:
+        """Adapter exposing the ``batch_iterator`` protocol
+        (question_ids / __len__ / gather_batch) over a pretraining batch
+        build, so the shared double-buffered feed applies unchanged."""
+
+        def __init__(self, runner, encoded):
+            self._runner = runner
+            self._encoded = encoded
+            self.question_ids = encoded.question_ids
+
+        def __len__(self):
+            return len(self._encoded)
+
+        def gather_batch(self, idx, with_target=True):
+            return self._runner._host_batch(self._encoded, idx)
+
     def _batches(self, encoded, batch_size, *, shuffle, rng=None):
-        n = len(encoded)
-        order = np.arange(n)
-        if shuffle:
-            (rng or np.random.default_rng()).shuffle(order)
-        for s in range(0, n - batch_size + 1, batch_size):
-            idx = order[s : s + batch_size]
-            yield self._host_batch(encoded, idx)
+        from rgqa_tpu.data.batching import batch_iterator, device_prefetch
+
+        if id(encoded) not in self._ans_cache:
+            self._ans_cache[id(encoded)] = self._answer_ids(encoded)
+        it = batch_iterator(
+            self._FeedView(self, encoded), batch_size,
+            shuffle=shuffle, rng=rng, drop_last=True,
+        )
+        for _, batch, _ in device_prefetch(it, self.mesh):
+            yield batch
 
     def train(self) -> dict:
         tcfg = self.cfg.train
@@ -206,7 +235,6 @@ class PretrainRunner:
         rng = np.random.default_rng(tcfg.seed)
         best_eval = float("inf")
         history = {"train": [], "eval": []}
-        from rgqa_tpu.parallel import shard_batch
 
         for epoch in range(tcfg.epochs):
             parts = {}
@@ -214,22 +242,23 @@ class PretrainRunner:
                 self.train_set, tcfg.batch_size, shuffle=True, rng=rng
             ):
                 key, sub = jax.random.split(key)
-                state, parts = step(state, shard_batch(self.mesh, batch), sub)
+                state, parts = step(state, batch, sub)
             train_parts = {k: float(v) for k, v in parts.items()}
             history["train"].append(train_parts)
 
             # Eval loss (fixed rng for comparability across epochs).
-            totals, count = 0.0, 0
+            # Device scalars accumulate in a list and convert once at the
+            # end, keeping dispatch ahead of the host fetches.
+            totals = []
             for batch in self._batches(
                 self.valid_set, tcfg.batch_size, shuffle=False
             ):
                 total, _ = eval_loss(
-                    state.params, shard_batch(self.mesh, batch),
+                    state.params, batch,
                     jax.random.PRNGKey(0),  # fixed: comparable across epochs
                 )
-                totals += float(total)
-                count += 1
-            avg = totals / max(count, 1)
+                totals.append(total)
+            avg = float(np.mean([float(t) for t in totals])) if totals else 0.0
             history["eval"].append(avg)
             self.params = state.params
             print(

@@ -47,6 +47,7 @@ from rgqa_tpu.data import (
     device_prefetch,
     make_synthetic_gqa,
 )
+from rgqa_tpu.data.batching import pipelined_map
 from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.metrics import ClosedSetEvaluator, RGQAEvaluator, dump_predictions
 from rgqa_tpu.models.zoo import build_model, example_batch
@@ -566,10 +567,10 @@ class GQARunner:
         quesid2ans = {}
         ans_encoded = answerer._encode(encoded.dataset)
         answers = answerer.predict(ans_encoded)
-        for qids, batch, real in self._iter_eval(encoded):
-            out = det(self.params, batch)
-            scores = np.asarray(out["score"])[:real]
-            for qid, s in zip(qids, scores):
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: det(self.params, b), select=("score",)
+        ):
+            for qid, s in zip(qids, out["score"][:real]):
                 quesid2ans[qid] = (answers[qid], float(s))
         evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
         results = evaluator.evaluate_quesid2ans(quesid2ans)
@@ -590,13 +591,38 @@ class GQARunner:
             self.mesh,
         )
 
+    def _map_eval(
+        self,
+        encoded: EncodedGQA,
+        step_fn,
+        *,
+        select: Optional[tuple] = None,
+        with_target: bool = False,
+    ):
+        """Run ``step_fn(batch)`` over a split, pipelined both ways:
+        inputs prefetched ahead of the dispatch front (`device_prefetch`),
+        outputs fetched ``lag`` dispatches behind it (`pipelined_map`) so
+        the tunnel RTT of each host transfer overlaps device compute.
+        Yields ``(qids, numpy outputs, real)``."""
+
+        def fn(batch):
+            out = step_fn(batch)
+            if select is not None:
+                out = {k: out[k] for k in select if k in out}
+            return out
+
+        return pipelined_map(
+            fn, self._iter_eval(encoded, with_target=with_target)
+        )
+
     def predict(self, encoded: EncodedGQA, dump: Optional[str] = None) -> dict:
         """Closed-set predictions {qid: answer} (``gqa_conf.py:245-260``)."""
         quesid2ans = {}
-        for qids, batch, real in self._iter_eval(encoded):
-            out = self.eval_step(self.params, batch)
-            labels = np.asarray(out["label"])[:real]
-            for qid, l in zip(qids, labels):
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: self.eval_step(self.params, b),
+            select=("label",),
+        ):
+            for qid, l in zip(qids, out["label"][:real]):
                 quesid2ans[qid] = self.label2ans[int(l)]
         if dump:
             ClosedSetEvaluator(encoded.dataset.qid2label).dump_result(
@@ -622,9 +648,10 @@ class GQARunner:
             return jax.lax.top_k(out["logits"].astype(jnp.float32), k)[1]
 
         quesid2ans = {}
-        for qids, batch, real in self._iter_eval(encoded):
-            idx = np.asarray(topk_step(self.params, batch, k))[:real]
-            for qid, proposals in zip(qids, idx):
+        for qids, idx, real in self._map_eval(
+            encoded, lambda b: topk_step(self.params, b, k)
+        ):
+            for qid, proposals in zip(qids, idx[:real]):
                 label = encoded.dataset.id2datum[qid].get("label") or {}
                 gold = next(iter(label), None)
                 names = [self.label2ans[int(p)] for p in proposals]
@@ -665,13 +692,14 @@ class GQARunner:
             return out["x_attention_probs"]
 
         written = 0
-        for qids, batch, real in self._iter_eval(encoded):
-            probs = viz_step(self.params, batch)
+        for qids, probs, real in self._map_eval(
+            encoded, lambda b: viz_step(self.params, b)
+        ):
             for row, qid in enumerate(qids[:real]):
                 arrays = {}
                 for i, (l2v, v2l) in enumerate(probs):
-                    arrays[f"lang2visn_{i}"] = np.asarray(l2v[row])
-                    arrays[f"visn2lang_{i}"] = np.asarray(v2l[row])
+                    arrays[f"lang2visn_{i}"] = l2v[row]
+                    arrays[f"visn2lang_{i}"] = v2l[row]
                 np.savez(os.path.join(out_dir, f"{qid}.npz"), **arrays)
                 written += 1
                 if limit and written >= limit:
@@ -701,10 +729,11 @@ class GQARunner:
         scorer = scorer or self.make_scorer()
         params = params if params is not None else self.params
         quesid2ans = {}
-        for qids, batch, real in self._iter_eval(encoded):
-            out = scorer(params, batch)
-            labels = np.asarray(out["label"])[:real]
-            scores = np.asarray(out["score"])[:real]
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: scorer(params, b), select=("label", "score")
+        ):
+            labels = out["label"][:real]
+            scores = out["score"][:real]
             for qid, l, s in zip(qids, labels, scores):
                 quesid2ans[qid] = (self.label2ans[int(l)], float(s))
         return quesid2ans
@@ -735,9 +764,10 @@ class GQARunner:
             self.load(path)
             probs_per_batch = []
             qids_seen = []
-            for qids, batch, real in self._iter_eval(encoded):
-                out = msp(self.params, batch)
-                probs_per_batch.append(np.asarray(out["probs"])[:real])
+            for qids, out, real in self._map_eval(
+                encoded, lambda b: msp(self.params, b), select=("probs",)
+            ):
+                probs_per_batch.append(out["probs"][:real])
                 qids_seen.extend(qids[:real])
             prob_sets.append(np.concatenate(probs_per_batch, 0))
             all_qids = qids_seen
@@ -846,9 +876,10 @@ class GQARunner:
 
         answers = self.predict(encoded)
         quesid2ans = {}
-        for qids, batch, real in self._iter_eval(encoded):
-            scores = np.asarray(match_step(pretrain_params, batch))[:real]
-            for qid, s in zip(qids, scores):
+        for qids, scores, real in self._map_eval(
+            encoded, lambda b: match_step(pretrain_params, b)
+        ):
+            for qid, s in zip(qids, scores[:real]):
                 quesid2ans[qid] = (answers[qid], float(s))
         evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
         results = evaluator.evaluate_quesid2ans(quesid2ans)
@@ -870,15 +901,15 @@ class GQARunner:
             )
         assert self.train_set is not None, "maha needs the train split"
 
+        def pooled_step(batch):
+            out = self.eval_step(self.params, batch)
+            return {"pooled": out["pooled"], "target": batch["target"]}
+
         def batches():
-            for _, batch, real in self._iter_eval(
-                self.train_set, with_target=True
+            for _, out, real in self._map_eval(
+                self.train_set, pooled_step, with_target=True
             ):
-                out = self.eval_step(self.params, batch)
-                yield (
-                    np.asarray(out["pooled"])[:real],
-                    np.asarray(batch["target"])[:real],
-                )
+                yield out["pooled"][:real], out["target"][:real]
 
         est = fit_estimator(
             batches(),

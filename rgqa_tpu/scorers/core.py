@@ -111,27 +111,39 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
     the per-pass argmaxes, score = mean of per-pass max-sigmoid.
 
     The reference loops over seeds re-enabling dropout modules; here the
-    stochastic passes unroll into one compiled program (the seed list is
-    static).  Vote ties break toward the first pass's answer (the
-    reference's ``Counter.most_common`` insertion-order behavior), then
-    toward the lower class index.
+    S stochastic passes **fold into the batch dimension**: the batch is
+    tiled S-fold and one forward runs with dropout on — every row draws
+    an independent mask (flax dropout masks are per-element; the
+    in-kernel TPU-PRNG path seeds per batch-block), so rows
+    ``[i*B:(i+1)*B]`` ARE pass ``i``.  One dispatch at S*B rows replaces
+    S dispatches at B: better MXU utilisation, one fetch.  Vote ties
+    break toward the first pass's answer (the reference's
+    ``Counter.most_common`` insertion-order behavior), then toward the
+    lower class index.
     """
     seeds = [int(s) for s in seed_list]
+    n_pass = len(seeds)
+    # The seed list's values fold into the PRNG key so distinct lists
+    # give distinct stochastic draws (the list's *length* sets S).
+    key0 = jax.random.PRNGKey(seeds[0])
+    for s in seeds[1:]:
+        key0 = jax.random.fold_in(key0, s)
+
+    def tile(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return jnp.tile(x, (n_pass,) + (1,) * (x.ndim - 1))
 
     @jax.jit
     def score_fn(params, batch):
-        def one_pass(seed):
-            out = forward(
-                params,
-                batch,
-                deterministic=False,
-                rng=jax.random.PRNGKey(seed),
-            )
-            return jax.nn.sigmoid(out["logits"].astype(jnp.float32))
-
-        probs = jnp.stack([one_pass(s) for s in seeds])  # (S, B, A)
+        tiled = jax.tree_util.tree_map(tile, batch)
+        out = forward(params, tiled, deterministic=False, rng=key0)
+        logits = out["logits"].astype(jnp.float32)
+        if logits.ndim == 1:
+            logits = logits[:, None]
+        num_answers = logits.shape[-1]
+        probs = jax.nn.sigmoid(logits).reshape(n_pass, -1, num_answers)
         labels = jnp.argmax(probs, axis=-1)  # (S, B)
-        num_answers = probs.shape[-1]
         votes = jnp.sum(jax.nn.one_hot(labels, num_answers), axis=0)  # (B, A)
         votes = votes + 0.5 * jax.nn.one_hot(labels[0], num_answers)
         return {

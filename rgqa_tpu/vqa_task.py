@@ -37,10 +37,11 @@ import numpy as np
 from rgqa_tpu.checkpoint import load_checkpoint, save_checkpoint, wait_for_saves
 from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import PackedFeatures, WordPieceTokenizer
+from rgqa_tpu.data.batching import batch_iterator, device_prefetch, pipelined_map
 from rgqa_tpu.data.dataset import EncodedGQA, GQADataset, build_targets
 from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.models.zoo import build_model, example_batch
-from rgqa_tpu.parallel import make_mesh, shard_batch, shard_params
+from rgqa_tpu.parallel import make_mesh, shard_params
 from rgqa_tpu.train import create_train_state, make_optimizer
 from rgqa_tpu.train.losses import optax_sigmoid_bce
 from rgqa_tpu.train.step import global_norm_clip
@@ -208,23 +209,15 @@ class VQARunner:
 
     def _batches(self, encoded, batch_size, *, shuffle=False, rng=None,
                  drop_last=False, with_target=True):
-        order = np.arange(len(encoded))
-        if shuffle:
-            (rng or np.random.default_rng()).shuffle(order)
-        for s in range(0, len(order), batch_size):
-            idx = order[s: s + batch_size]
-            real = len(idx)
-            if real < batch_size:
-                if drop_last:
-                    return
-                idx = np.concatenate(
-                    [idx, np.full(batch_size - real, idx[-1], idx.dtype)]
-                )
-            yield (
-                [encoded.question_ids[i] for i in idx[:real]],
-                encoded.gather_batch(idx, with_target=with_target),
-                real,
-            )
+        """Shared double-buffered feed (``data/batching.py``): host batch
+        build + device_put run ``depth`` ahead of the dispatch front."""
+        return device_prefetch(
+            batch_iterator(
+                encoded, batch_size, shuffle=shuffle, rng=rng,
+                drop_last=drop_last, with_target=with_target,
+            ),
+            self.mesh,
+        )
 
     # ------------------------------------------------------------------
 
@@ -263,19 +256,32 @@ class VQARunner:
         rng = np.random.default_rng(tcfg.seed)
         best_valid = 0.0
         history = {"loss": [], "train": [], "valid": []}
+        import collections
+
         for epoch in range(tcfg.epochs):
             loss = float("nan")
             quesid2ans: dict = {}
+            # Train-accuracy labels are fetched a few steps behind the
+            # dispatch front so the host transfer overlaps device compute
+            # (the output analogue of the device_prefetch input feed).
+            pending: collections.deque = collections.deque()
+
+            def drain(item):
+                qids0, labels0, real0 = item
+                for qid, l in zip(qids0, np.asarray(labels0)[:real0]):
+                    quesid2ans[qid] = self.label2ans[int(l)]
+
             for qids, batch, real in self._batches(
                 train_set, tcfg.batch_size, shuffle=True, rng=rng,
                 drop_last=True,
             ):
                 key, sub = jax.random.split(key)
-                state, loss, labels = step(
-                    state, shard_batch(self.mesh, batch), sub
-                )
-                for qid, l in zip(qids, np.asarray(labels)[:real]):
-                    quesid2ans[qid] = self.label2ans[int(l)]
+                state, loss, labels = step(state, batch, sub)
+                pending.append((qids, labels, real))
+                if len(pending) > 4:
+                    drain(pending.popleft())
+            while pending:
+                drain(pending.popleft())
             self.params = state.params
             train_score = evaluator.evaluate(quesid2ans)
             history["loss"].append(float(loss))
@@ -310,12 +316,10 @@ class VQARunner:
 
         quesid2ans: dict = {}
         bs = min(len(encoded), self.cfg.train.batch_size)
-        for qids, batch, real in self._batches(
-            encoded, bs, with_target=False
+        for qids, labels, real in pipelined_map(
+            lambda b: infer(self.params, b),
+            self._batches(encoded, bs, with_target=False),
         ):
-            labels = np.asarray(
-                infer(self.params, shard_batch(self.mesh, batch))
-            )
             for qid, l in zip(qids, labels[:real]):
                 quesid2ans[qid] = self.label2ans[int(l)]
         if dump is not None:

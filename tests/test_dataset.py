@@ -151,3 +151,35 @@ class TestPrefetchErrors:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+
+class TestPipelinedMap:
+    def test_order_and_values(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.batching import pipelined_map
+
+        def batches():
+            for i in range(7):
+                yield [f"q{i}"], {"x": jnp.full((3,), i, jnp.float32)}, 3
+
+        seen = list(
+            pipelined_map(lambda b: {"y": b["x"] * 2}, batches(), lag=3)
+        )
+        assert [q for q, _, _ in seen] == [[f"q{i}"] for i in range(7)]
+        for i, (_, out, real) in enumerate(seen):
+            assert real == 3
+            assert isinstance(out["y"], np.ndarray)
+            assert out["y"].tolist() == [2.0 * i] * 3
+
+    def test_fewer_batches_than_lag(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.batching import pipelined_map
+
+        def batches():
+            yield ["q0"], jnp.ones((2,)), 2
+
+        out = list(pipelined_map(lambda b: b + 1, batches(), lag=8))
+        assert len(out) == 1
+        assert out[0][1].tolist() == [2.0, 2.0]
