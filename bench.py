@@ -5,7 +5,9 @@ Baseline: 4,000 questions/sec/chip (BASELINE.md north-star for the
 reference's PyTorch LXMERT on GPU).
 
 Full RGQA-scale model (9/5/5 x 768, 1842 answers), bf16 compute, batch
-1024, fused attention kernels, async dispatch with double-buffered feed.
+384 (see RGQA_BENCH_BATCH note below), fused attention kernels, chained
+iterations in one executable so the tunnel RTT is paid once.
+``RGQA_BENCH_BACKBONE`` selects lxmert (default) / uniter / butd / vilt.
 """
 
 from __future__ import annotations
@@ -45,28 +47,36 @@ def main():
             encoder=EncoderConfig(
                 hidden_size=32, num_heads=4, intermediate_size=64,
                 vocab_size=128, l_layers=1, x_layers=1, r_layers=1,
-                num_objects=4, visual_feat_dim=16,
+                num_layers=1, num_objects=4, visual_feat_dim=16,
             ),
             num_answers=8, max_text_len=6,
+            vilt_image_size=32, vilt_patch_size=16,
         )
     model, forward = build_model(cfg, use_bf16=True)
 
     # 384 is the throughput/compile-time sweet spot over the tunnel:
     # 256 -> 10.6k q/s (~2 min wall), 384 -> 11.1k (~3.3 min),
-    # 512 -> 11.6k (~5.3 min; compile risk).
-    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "384"))
+    # 512 -> 11.6k (~5.3 min; compile risk).  ViLT runs a 185-token
+    # single stream (~14x LXMERT attention FLOPs), so it defaults lower
+    # to keep the tunnel compile bounded.
+    default_batch = "128" if backbone == "vilt" else "384"
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", default_batch))
     host = example_batch(cfg, batch_size=batch_size, seed=0)
-    host["feats"] = host["feats"].astype(np.float32)
+    if "feats" in host:
+        host["feats"] = host["feats"].astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
 
-    init_args = (
-        (batch["token_ids"][:2], batch["feats"][:2], batch["boxes"][:2])
-        if backbone == "butd"
-        else (
+    if backbone == "butd":
+        init_args = (batch["token_ids"][:2], batch["feats"][:2], batch["boxes"][:2])
+    elif backbone == "vilt":
+        init_args = (
+            batch["input_ids"][:2], batch["input_mask"][:2], batch["pixels"][:2],
+        )
+    else:
+        init_args = (
             batch["input_ids"][:2], batch["input_mask"][:2],
             batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
         )
-    )
     params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
     # Inference serves from bf16 weights: halves HBM weight traffic
     # (training keeps f32 master params; this is the serving path).

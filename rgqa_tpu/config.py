@@ -273,6 +273,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=None)
+    p.add_argument("--num_layers", type=int, default=12,
+                   help="single-stream depth (uniter / vilt / caps)")
+    p.add_argument("--vilt_patch_size", type=int, default=32)
+    p.add_argument("--vilt_image_size", type=int, default=384)
     p.add_argument("--branched", action="store_true")
     p.add_argument("--branched_layer", dest="branched_layers", action="store_true")
     p.add_argument("--uq_as_class", action="store_true")
@@ -331,6 +335,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
         hidden_size=ns.hidden_size,
         num_heads=ns.num_heads,
         intermediate_size=ns.intermediate_size or 4 * ns.hidden_size,
+        num_layers=ns.num_layers,
         hidden_dropout=ns.dropout,
         attention_dropout=ns.dropout,
     )
@@ -343,6 +348,8 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             branched=ns.branched,
             branched_layers=ns.branched_layers,
             uq_as_class=ns.uq_as_class,
+            vilt_patch_size=ns.vilt_patch_size,
+            vilt_image_size=ns.vilt_image_size,
         ),
         train=TrainConfig(
             batch_size=ns.batch_size,

@@ -1,0 +1,6 @@
+# ViLT GQA finetune (reference src/vilt/vilt.py + src/tasks/gqa.py --backbone vilt)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+python -m rgqa_tpu.cli.train --backbone vilt --data_root $DATA_ROOT \
+  --train GQAUQ_train_questions_unsup,GQAUQ_valid_questions_unsup \
+  --batchSize 64 --epochs 10 --lr 1e-5 --output $OUTPUT/vilt/vanilla "$@"

@@ -32,6 +32,12 @@ import pytest
 REFERENCE_DIR = pathlib.Path("/root/reference")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test (minutes)"
+    )
+
+
 @pytest.fixture(scope="session")
 def reference_dir():
     """Path to the read-only reference checkout; skip if unavailable."""

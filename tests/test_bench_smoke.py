@@ -45,3 +45,9 @@ def test_bench_train_contract():
     out = _run("bench_train.py")
     assert out["unit"] == "examples/sec/chip"
     assert out["examples_per_sec"] > 0 and out["step_ms"] > 0
+
+
+def test_bench_vilt_backbone():
+    out = _run("bench.py", {"RGQA_BENCH_BACKBONE": "vilt"})
+    assert out["metric"] == "vilt_gqa_inference_throughput"
+    assert out["value"] > 0

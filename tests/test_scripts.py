@@ -80,7 +80,11 @@ def test_script_flags_parse(path):
     found = 0
     text = open(path).read()
     if "test_all" in path:
-        assert text.count(".sh") >= 10  # chains the other recipes
+        # Chains sibling recipes, each of which must exist.
+        chained = re.findall(r'"\$HERE"/(\w+\.sh)', text)
+        assert len(chained) >= 3
+        for name in chained:
+            assert os.path.exists(os.path.join(os.path.dirname(path), name))
         return
     for module, flags in _commands(path):
         found += 1
@@ -105,7 +109,7 @@ def test_generated_script_runs_e2e(tmp_path):
         data, SyntheticSpec(n_images=16, n_train=48, n_valid=16, n_testdev=16)
     )
     env = dict(
-        os.environ, DATA_ROOT=data, OUTPUT=out,
+        os.environ, DATA_ROOT=data, OUTPUT=out, RGQA_PLATFORM="cpu",
         LOAD=os.path.join(out, "butd", "vanilla", "LAST"),
     )
     tiny = [
@@ -129,6 +133,66 @@ def test_generated_script_runs_e2e(tmp_path):
     for subset in ("ClipEasy", "ClipHard", "PTEasy", "PTHard"):
         res = os.path.join(
             out, "butd", "msp",
+            f"GQAUQ_testdev_questions_{subset}_result.json",
+        )
+        assert os.path.exists(res), subset
+        with open(res) as f:
+            assert "auaf" in json.load(f)
+
+
+def test_vilt_scripts_exist():
+    """ViLT gets the recipe treatment too (the reference ships the
+    backbone, ``src/vilt/vilt.py``, without per-method scripts; the
+    pixel-based model supports the non-RoI scorers)."""
+    tests = {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(REPO, "scripts", "vilt", "test", "*.sh"))
+    }
+    trains = {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(REPO, "scripts", "vilt", "train", "*.sh"))
+    }
+    assert {"msp", "energy", "dropout", "test_all"} <= tests
+    assert {"vanilla", "rp"} <= trains
+
+
+@pytest.mark.slow
+def test_vilt_script_runs_e2e(tmp_path):
+    """Live run: one-epoch ViLT vanilla train recipe, then the ViLT msp
+    test recipe over all 4 GQAUQ subsets (tiny ViT, 64x64 synth images)."""
+    from rgqa_tpu.data.synthetic import SyntheticSpec, make_synthetic_gqa
+
+    data = str(tmp_path / "gqa")
+    out = str(tmp_path / "snap")
+    make_synthetic_gqa(
+        data, SyntheticSpec(n_images=16, n_train=32, n_valid=16, n_testdev=16)
+    )
+    env = dict(
+        os.environ, DATA_ROOT=data, OUTPUT=out, RGQA_PLATFORM="cpu",
+        LOAD=os.path.join(out, "vilt", "vanilla", "LAST"),
+    )
+    tiny = [
+        "--fp32", "--hidden_size", "32", "--num_heads", "4",
+        "--num_layers", "1", "--vilt_image_size", "64",
+        "--vilt_patch_size", "16", "--batchSize", "8",
+        "--epochs", "1", "--lr", "1e-3",
+    ]
+    r = subprocess.run(
+        ["sh", os.path.join(REPO, "scripts", "vilt", "train", "vanilla.sh")]
+        + tiny,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out, "vilt", "vanilla", "LAST"))
+
+    r = subprocess.run(
+        ["sh", os.path.join(REPO, "scripts", "vilt", "test", "msp.sh")] + tiny,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for subset in ("ClipEasy", "ClipHard", "PTEasy", "PTHard"):
+        res = os.path.join(
+            out, "vilt", "msp",
             f"GQAUQ_testdev_questions_{subset}_result.json",
         )
         assert os.path.exists(res), subset
