@@ -157,6 +157,10 @@ class DataConfig:
     tiny: bool = False  # 512 images (gqa_data.py:21)
     fast: bool = False  # 5000 images (gqa_data.py:22)
     num_workers: int = 0
+    # Pretraining answer-vocab filter (reference --qaSets,
+    # lxmert_pretrain.py:27-32): comma list of QA dataset names; with an
+    # all_ans.json present, only answers used in these dsets survive.
+    qa_sets: Optional[str] = None
     synthetic: bool = False  # generate synthetic data (this environment
     # has no GQA download; see data/synthetic.py)
 
@@ -399,6 +403,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             train_neg=ns.train_neg,
             tiny=ns.tiny,
             fast=ns.fast,
+            qa_sets=ns.qa_sets,
             num_workers=ns.num_workers,
             synthetic=ns.synthetic,
         ),

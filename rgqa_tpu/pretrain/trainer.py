@@ -138,8 +138,22 @@ class PretrainRunner:
         self.tokenizer = WordPieceTokenizer(vocab)
         self.mask_id = vocab[MASK]
 
+        # Multi-source semantics (lxmert_data.py:40-57): comma-joined
+        # splits concatenate per-source rows; the answer-id space comes
+        # from an all_ans.json filtered by --qaSets when present (each
+        # answer row carries the dsets it appears in), else from the GQA
+        # vocab directly.
         ds = GQADataset(root, cfg.data.train_splits)
-        self.answer_table = AnswerTable(answers=ds.label2ans)
+        all_ans_path = os.path.join(root, "all_ans.json")
+        if os.path.exists(all_ans_path):
+            qa_sets = cfg.data.qa_sets
+            dsets = (
+                set(s.lower().strip() for s in qa_sets.split(","))
+                if qa_sets else None
+            )  # lxmert_pretrain.py:27-29 normalization
+            self.answer_table = AnswerTable(dsets, path=all_ans_path)
+        else:
+            self.answer_table = AnswerTable(answers=ds.label2ans)
         self.train_set = EncodedGQA(
             ds, self.features, tokenizer=self.tokenizer,
             max_text_len=cfg.model.max_text_len,

@@ -156,3 +156,45 @@ class TestTwoProcessDistributed:
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out[-2000:]
             assert "OK" in out
+
+    @pytest.mark.slow
+    def test_two_process_train_step_and_orbax(self, tmp_path):
+        """One real ``make_train_step`` across two processes — gradient
+        sync over the data axis with per-process local data — then a
+        collective orbax save + restore (VERDICT round-2 item 4).  The
+        worker lives in ``tests/twoproc_train_worker.py``."""
+        import re
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(os.path.dirname(__file__), "twoproc_train_worker.py")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(
+            os.environ, RGQA_TEST_TPU="", JAX_PLATFORMS="",
+            # script-file invocation puts tests/ on sys.path, not the repo
+            PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, worker, str(pid),
+                    "127.0.0.1:%d" % port, str(tmp_path),
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        norms = []
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+            assert "OK" in out, out[-3000:]
+            norms.append(re.search(r"PNORM (\S+)", out).group(1))
+        # identical post-step param norm on both processes == synced grads
+        assert norms[0] == norms[1], norms

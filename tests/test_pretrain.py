@@ -108,6 +108,113 @@ class TestAnswerTable:
         assert at.ans2id("dog") == 3
 
 
+class TestTwoSourcePretrain:
+    """Multi-source pretraining semantics (reference
+    ``src/pretrain/lxmert_data.py:18-48`` + ``qa_answer_table.py:8-80``):
+    comma-joined splits concatenate per-source rows, and the answer-id
+    space comes from an ``all_ans.json`` filtered by ``--qaSets`` — rows
+    whose answer falls outside the filtered vocabulary train with QA
+    disabled (ans = -1), exactly like the reference's held-out handling."""
+
+    def _make_root(self, tmp_path):
+        import json
+        import os
+
+        from rgqa_tpu.data import make_synthetic_gqa
+
+        root = str(tmp_path / "gqa")
+        make_synthetic_gqa(root)
+        with open(os.path.join(root, "trainval_label2ans.json")) as f:
+            answers = json.load(f)
+        half = len(answers) // 2
+        # Source tags: first half mscoco-only, rest vgnococo-only, the
+        # last two answers shared by both (set-intersection filter).
+        all_ans = (
+            [{"ans": a, "dsets": ["mscoco"]} for a in answers[:half]]
+            + [{"ans": a, "dsets": ["vgnococo"]} for a in answers[half:-2]]
+            + [
+                {"ans": a, "dsets": ["mscoco", "vgnococo"]}
+                for a in answers[-2:]
+            ]
+        )
+        with open(os.path.join(root, "all_ans.json"), "w") as f:
+            json.dump(all_ans, f)
+        return root, answers, half
+
+    def _cfg(self, root, tmp_path, **data_kw):
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=1, x_layers=1, r_layers=1,
+            num_objects=36, visual_feat_dim=2048,
+        )
+        return RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=enc, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, optim=OptimConfig(lr=1e-3),
+                use_bf16=False,
+            ),
+            data=DataConfig(
+                data_root=root, synthetic=True,
+                train_splits="train,valid", valid_splits="valid",
+                **data_kw,
+            ),
+            output=str(tmp_path / "snap"),
+        )
+
+    def test_qa_sets_filter_and_concat(self, tmp_path):
+        from rgqa_tpu.data import GQADataset
+        from rgqa_tpu.pretrain import PretrainRunner
+
+        root, answers, half = self._make_root(tmp_path)
+        cfg = self._cfg(root, tmp_path, qa_sets="mscoco")
+        runner = PretrainRunner(cfg)
+
+        # Comma-joined sources concatenate.
+        n_tr = len(GQADataset(root, "train"))
+        n_va = len(GQADataset(root, "valid"))
+        assert len(runner.train_set) == n_tr + n_va
+
+        # qaSets=mscoco keeps mscoco-only + shared answers, in file order.
+        kept = answers[:half] + answers[-2:]
+        assert runner.answer_table.all_answers() == kept
+        assert runner.model.num_answers == len(kept)
+
+        # Rows answered outside the filtered vocab get QA disabled (-1);
+        # rows inside map through convert_ans into the filtered id space.
+        ans_ids = runner._ans_cache[id(runner.train_set)]
+        enc = runner.train_set
+        checked_in = checked_out = 0
+        for i in range(len(enc)):
+            li = enc.label_idx[i, 0]
+            if li < 0:
+                assert ans_ids[i] == -1
+                continue
+            s = runner.answer_table.convert_ans(enc.dataset.label2ans[li])
+            if s in set(kept):
+                assert ans_ids[i] == kept.index(s)
+                checked_in += 1
+            else:
+                assert ans_ids[i] == -1
+                checked_out += 1
+        # The synthetic split covers both sides of the filter.
+        assert checked_in > 0 and checked_out > 0
+
+        # One epoch end-to-end with the filtered answer space.
+        history = runner.train()
+        assert np.isfinite(history["eval"][-1])
+        assert np.isfinite(history["train"][0]["qa"])
+
+    def test_no_qa_sets_keeps_all(self, tmp_path):
+        from rgqa_tpu.pretrain import PretrainRunner
+
+        root, answers, _ = self._make_root(tmp_path)
+        cfg = self._cfg(root, tmp_path)  # qa_sets=None
+        runner = PretrainRunner(cfg)
+        assert runner.answer_table.all_answers() == answers
+        ans_ids = runner._ans_cache[id(runner.train_set)]
+        assert (ans_ids >= 0).any()
+
+
 class TestPretrainRunner:
     def test_end_to_end_synthetic(self, tmp_path):
         from rgqa_tpu.pretrain import PretrainRunner
