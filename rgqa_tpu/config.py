@@ -161,6 +161,10 @@ class DataConfig:
     # lxmert_pretrain.py:27-32): comma list of QA dataset names; with an
     # all_ans.json present, only answers used in these dsets survive.
     qa_sets: Optional[str] = None
+    # ViLT static-shape image policy: "pad" (longer side -> size,
+    # masked center pad) or "crop" (shorter side -> size, center crop —
+    # the reference MinMaxResize patch scale).  docs/vilt_images.md.
+    vilt_resize: str = "pad"
     synthetic: bool = False  # generate synthetic data (this environment
     # has no GQA download; see data/synthetic.py)
 
@@ -311,6 +315,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--taskQA", dest="task_qa", action="store_true")
     p.add_argument("--visualLosses", dest="visual_losses", default="obj,attr,feat")
     p.add_argument("--qaSets", dest="qa_sets", default=None)
+    p.add_argument("--vilt_resize", choices=("pad", "crop"), default="pad")
     p.add_argument("--wordMaskRate", dest="word_mask_rate", type=float, default=0.15)
     p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float, default=0.15)
     # Accepted for script compatibility; multi-device use is controlled by
@@ -404,6 +409,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             tiny=ns.tiny,
             fast=ns.fast,
             qa_sets=ns.qa_sets,
+            vilt_resize=ns.vilt_resize,
             num_workers=ns.num_workers,
             synthetic=ns.synthetic,
         ),

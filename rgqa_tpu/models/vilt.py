@@ -134,6 +134,9 @@ class ViltForGQA(nn.Module):
     num_answers: int
     patch_size: int = 32
     image_size: int = 384
+    # Mask pad patches out of attention (reference visual_embed drops
+    # them; see docs/vilt_images.md for the static-shape fidelity story).
+    mask_pad_patches: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -162,12 +165,26 @@ class ViltForGQA(nn.Module):
             self.num_answers, c.hidden_size, self.dtype
         )
 
+    def patch_valid_mask(self, pixels, dtype):
+        """Per-patch validity derived from pixel content — the reference's
+        own rule (``vision_transformer.py:555-556``: pad pixels are exactly
+        0 after inception-normalize, so a channel-sum test marks the real
+        region; here abs-sum, which a real pixel can never zero out).  A
+        patch is valid iff ANY of its pixels is real, so partial boundary
+        patches stay attended like the reference's nearest-interp mask."""
+        b, hh, ww, _ = pixels.shape
+        p = self.patch_size
+        nz = jnp.abs(pixels.astype(jnp.float32)).sum(-1) > 0  # (B, H, W)
+        nz = nz.reshape(b, hh // p, p, ww // p, p)
+        return nz.any(axis=(2, 4)).reshape(b, -1).astype(dtype)
+
     def __call__(
         self,
         input_ids,
         input_mask,
         pixels,
         *,
+        pixel_mask=None,
         deterministic: bool = True,
         **_,
     ) -> dict[str, Any]:
@@ -180,8 +197,23 @@ class ViltForGQA(nn.Module):
             self.cls_token.astype(img.dtype), (b, 1, img.shape[-1])
         )
         img = jnp.concatenate([cls, img], axis=1) + self.pos_embed.astype(img.dtype)
-        img_mask = jnp.ones((b, img.shape[1]), input_mask.dtype)
-        img = img + self.modality_type(img_mask)  # type idx 1 (all-ones)
+        # Pad patches are masked out of attention (reference visual_embed
+        # drops them from the stream entirely, ``vision_transformer.py:
+        # 611-663``; static shapes keep them as masked key positions).
+        # ``pixel_mask`` (B, n_patches) overrides the content-derived mask.
+        if pixel_mask is None and self.mask_pad_patches:
+            pixel_mask = self.patch_valid_mask(pixels, input_mask.dtype)
+        if pixel_mask is None:
+            img_mask = jnp.ones((b, img.shape[1]), input_mask.dtype)
+        else:
+            img_mask = jnp.concatenate(
+                [
+                    jnp.ones((b, 1), input_mask.dtype),  # CLS always valid
+                    pixel_mask.astype(input_mask.dtype),
+                ],
+                axis=1,
+            )
+        img = img + self.modality_type(jnp.ones_like(img_mask))  # type idx 1
 
         stream = jnp.concatenate([text, img], axis=1)
         bias = mask_to_bias(

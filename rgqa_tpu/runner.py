@@ -184,6 +184,7 @@ class GQARunner:
             image_source = GQAImageSource(
                 os.path.join(self.cfg.data.data_root, "images"),
                 size=self.cfg.model.vilt_image_size,
+                mode=self.cfg.data.vilt_resize,
             )
         return EncodedGQA(
             ds,

@@ -25,6 +25,31 @@ class TestPixelbert:
         assert batch.shape == (3, 64, 64, 3)
         assert batch.min() >= -1.0 and batch.max() <= 1.0
 
+    def test_pad_vs_crop_modes(self):
+        from PIL import Image
+
+        from rgqa_tpu.data.images import pixelbert_transform
+
+        rng = np.random.default_rng(3)
+        # 300w x 100h landscape; brighten so no real pixel normalizes to 0.
+        img = Image.fromarray(
+            rng.integers(40, 255, (100, 300, 3), dtype=np.uint8)
+        )
+        pad = pixelbert_transform(img, 64, mode="pad")
+        crop = pixelbert_transform(img, 64, mode="crop")
+        assert pad.shape == crop.shape == (64, 64, 3)
+        # pad: longer side -> 64, so h = round(100*64/300) = 21 centered
+        # rows; the bands above/below are exactly zero.
+        row_real = np.abs(pad).sum(axis=(1, 2)) > 0
+        assert row_real.sum() == 21
+        assert row_real[0] == row_real[-1] == False  # noqa: E712
+        assert row_real[32]
+        # crop: shorter side -> 64, center crop -- every pixel real.
+        assert (np.abs(crop).sum(axis=2) > 0).all()
+        # crop center matches pad center content-wise (same image, both
+        # bicubic; scales differ so just check both carry real signal).
+        assert crop.std() > 0.01 and pad[row_real].std() > 0.01
+
     def test_randaug_changes_pixels(self, tmp_path):
         from PIL import Image
 
