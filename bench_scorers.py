@@ -155,10 +155,13 @@ def main():
                 out = score_fn(params, b)
                 return {k: out[k] for k in keys if k in out}
 
+            # score_split's actual pipeline feeds bf16 (the model consumes
+            # feats as bf16 anyway; half the host->device bytes).
             def run_pipelined():
                 count = 0
                 for _, out, real in pipelined_map(
-                    select_fn, device_prefetch(iter(host_batches), None)
+                    select_fn,
+                    device_prefetch(iter(host_batches), None, feed_bf16=True),
                 ):
                     count += len(out["label"])
                 return count
@@ -177,6 +180,24 @@ def main():
                 count = fn()
                 elapsed = time.perf_counter() - start
                 results[f"{name}_{mode}"] = round(count / elapsed, 1)
+
+        # The feed-bound ceiling this host can reach regardless of model:
+        # time host->device transfer of the bf16-cast batch alone.
+        import jax as _jax
+        import ml_dtypes
+
+        hb16 = {
+            k: (v.astype(ml_dtypes.bfloat16) if v.dtype == np.float32 else v)
+            for k, v in host.items()
+        }
+        np.asarray(_jax.device_put(hb16["feats"])[0, 0, 0])  # warmup
+        start = time.perf_counter()
+        for _ in range(4):
+            d = _jax.device_put(hb16)
+            np.asarray(d["feats"][0, 0, 0])
+        results["feed_bound"] = round(
+            batch_size * 4 / (time.perf_counter() - start), 1
+        )
 
     print(json.dumps(results))
 

@@ -72,22 +72,46 @@ def batch_iterator(
         yield qids, batch, real
 
 
+# Bulk float payloads worth halving on the wire (bf16 models consume them
+# as bf16 anyway): RoI features are 295 KB/question f32 — the dominant
+# host->device bytes by ~50x (docs/kernels.md, production-loop physics).
+_BF16_FEED_KEYS = ("feats", "pixels")
+
+
 def device_prefetch(
     host_iter: Iterator[tuple[list[str], dict, int]],
     mesh=None,
     *,
     depth: int = 2,
+    feed_bf16: bool = False,
 ) -> Iterator[tuple[list[str], Any, int]]:
     """Background-thread prefetch + device placement.
 
     A worker thread builds host batches and device_puts them (sharded over
     the mesh's ``data`` axis when a mesh is given) ``depth`` batches ahead,
     overlapping input feed with device compute.
+
+    ``feed_bf16`` casts the bulk float payloads (``feats``/``pixels``) to
+    bfloat16 on host before transfer — numerically identical for a bf16
+    model (which casts them on device anyway) at half the interconnect
+    bytes.  Leave False for f32 models.
     """
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     _END = object()
 
     def put(batch):
+        if feed_bf16:
+            import ml_dtypes
+
+            batch = {
+                k: (
+                    v.astype(ml_dtypes.bfloat16)
+                    if k in _BF16_FEED_KEYS
+                    and getattr(v, "dtype", None) == np.float32
+                    else v
+                )
+                for k, v in batch.items()
+            }
         if mesh is not None:
             return shard_batch(mesh, batch)
         import jax

@@ -590,6 +590,9 @@ class GQARunner:
                 encoded, bs, shuffle=False, with_target=with_target
             ),
             self.mesh,
+            # bf16 models consume feats/pixels as bf16 — casting on host
+            # halves the dominant host->device bytes (docs/kernels.md).
+            feed_bf16=self.cfg.train.use_bf16,
         )
 
     def _map_eval(

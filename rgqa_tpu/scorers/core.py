@@ -125,7 +125,10 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
     n_pass = len(seeds)
     # The seed list's values fold into the PRNG key so distinct lists
     # give distinct stochastic draws (the list's *length* sets S).
-    key0 = jax.random.PRNGKey(seeds[0])
+    # ``rbg`` impl: the hidden-dropout masks draw bits over every
+    # (S*B, seq, 768) activation — threefry generates those on the VPU
+    # at matmul-competitive cost, while rbg uses the hardware RNG.
+    key0 = jax.random.key(seeds[0], impl="rbg")
     for s in seeds[1:]:
         key0 = jax.random.fold_in(key0, s)
 

@@ -208,7 +208,7 @@ class VQARunner:
         return VQAEvaluator(self.encoded(split).dataset)
 
     def _batches(self, encoded, batch_size, *, shuffle=False, rng=None,
-                 drop_last=False, with_target=True):
+                 drop_last=False, with_target=True, feed_bf16=False):
         """Shared double-buffered feed (``data/batching.py``): host batch
         build + device_put run ``depth`` ahead of the dispatch front."""
         return device_prefetch(
@@ -217,6 +217,7 @@ class VQARunner:
                 drop_last=drop_last, with_target=with_target,
             ),
             self.mesh,
+            feed_bf16=feed_bf16,
         )
 
     # ------------------------------------------------------------------
@@ -318,7 +319,10 @@ class VQARunner:
         bs = min(len(encoded), self.cfg.train.batch_size)
         for qids, labels, real in pipelined_map(
             lambda b: infer(self.params, b),
-            self._batches(encoded, bs, with_target=False),
+            self._batches(
+                encoded, bs, with_target=False,
+                feed_bf16=self.cfg.train.use_bf16,
+            ),
         ):
             for qid, l in zip(qids, labels[:real]):
                 quesid2ans[qid] = self.label2ans[int(l)]

@@ -41,6 +41,19 @@ def test_bench_scorers_contract():
     assert out["msp"] > 0 and out["energy"] > 0
 
 
+def test_bench_scorers_production_mode():
+    out = _run(
+        "bench_scorers.py",
+        {
+            "RGQA_BENCH_SCORERS": "msp",
+            "RGQA_BENCH_PRODUCTION": "1",
+            "RGQA_BENCH_PROD_BATCHES": "2",
+        },
+    )
+    assert out["msp_prod"] > 0 and out["msp_sync"] > 0
+    assert out["feed_bound"] > 0
+
+
 def test_bench_train_contract():
     out = _run("bench_train.py")
     assert out["unit"] == "examples/sec/chip"

@@ -153,6 +153,29 @@ class TestPrefetchErrors:
             next(it)
 
 
+class TestFeedBf16:
+    def test_bulk_float_keys_cast_others_untouched(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.batching import device_prefetch
+
+        def batches():
+            yield ["q0"], {
+                "feats": np.ones((2, 4, 8), np.float32),
+                "boxes": np.ones((2, 4, 4), np.float32),
+                "input_ids": np.ones((2, 3), np.int32),
+            }, 2
+
+        _, dev, _ = next(device_prefetch(batches(), None, feed_bf16=True))
+        assert dev["feats"].dtype == jnp.bfloat16
+        # Only the bulk payloads are halved; small floats stay f32.
+        assert dev["boxes"].dtype == jnp.float32
+        assert dev["input_ids"].dtype == jnp.int32
+
+        _, dev32, _ = next(device_prefetch(batches(), None))
+        assert dev32["feats"].dtype == jnp.float32
+
+
 class TestPipelinedMap:
     def test_order_and_values(self):
         import jax.numpy as jnp
