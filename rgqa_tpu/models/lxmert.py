@@ -30,6 +30,7 @@ from rgqa_tpu.models.transformer import (
     gelu,
     mask_to_bias,
 )
+from rgqa_tpu.ops.dropout import HiddenDropout
 
 __all__ = ["LxmertModel", "LxmertForGQA", "LxmertPretraining", "AnswerHead"]
 
@@ -57,7 +58,7 @@ class VisualFeatEncoder(nn.Module):
         )(boxes)
         y = LayerNorm(eps=c.layer_norm_eps, name="box_ln")(y)
         out = (x + y) / 2
-        return nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
+        return HiddenDropout(c.hidden_dropout)(out, deterministic=deterministic)
 
 
 class LxmertModel(nn.Module):

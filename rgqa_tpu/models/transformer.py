@@ -28,6 +28,7 @@ from rgqa_tpu.ops.attention import (
     fused_attention_dropout,
 )
 from rgqa_tpu.ops.common import dropout_kernel_enabled
+from rgqa_tpu.ops.dropout import HiddenDropout
 
 __all__ = [
     "gelu",
@@ -101,7 +102,7 @@ class TextEmbeddings(nn.Module):
             dtype=self.dtype,
         )
         self.layer_norm = LayerNorm(eps=c.layer_norm_eps)
-        self.dropout = nn.Dropout(c.hidden_dropout)
+        self.dropout = HiddenDropout(c.hidden_dropout)
 
     def __call__(
         self,
@@ -234,7 +235,7 @@ class AttentionBlock(nn.Module):
 
         wo, bo = DenseParams(c.hidden_size, name="out")(c.hidden_size)
         out = ctx.astype(dt) @ wo.astype(dt) + bo.astype(dt)
-        out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
+        out = HiddenDropout(c.hidden_dropout)(out, deterministic=deterministic)
         out = LayerNorm(eps=c.layer_norm_eps, name="out_ln")(out + x)
         return (out, probs) if output_probs else (out, None)
 
@@ -256,7 +257,7 @@ class MLPBlock(nn.Module):
         h = nn.Dense(
             c.hidden_size, kernel_init=dense_init, name="out", dtype=self.dtype
         )(h)
-        h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
+        h = HiddenDropout(c.hidden_dropout)(h, deterministic=deterministic)
         return LayerNorm(eps=c.layer_norm_eps, name="out_ln")(h + x)
 
 

@@ -26,6 +26,7 @@ from rgqa_tpu.models.transformer import (
     dense_init,
     mask_to_bias,
 )
+from rgqa_tpu.ops.dropout import HiddenDropout
 
 __all__ = ["UniterModel", "UniterForGQA", "uniter_box_transform"]
 
@@ -72,7 +73,7 @@ class UniterImageEmbeddings(nn.Module):
         pos = LayerNorm(eps=c.layer_norm_eps, name="pos_ln")(pos)
         x = im + pos + type_embeddings
         x = LayerNorm(eps=c.layer_norm_eps, name="ln")(x)
-        return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+        return HiddenDropout(c.hidden_dropout)(x, deterministic=deterministic)
 
 
 class UniterModel(nn.Module):

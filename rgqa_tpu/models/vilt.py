@@ -34,6 +34,7 @@ from rgqa_tpu.models.transformer import (
     mask_to_bias,
 )
 from rgqa_tpu.ops.attention import fused_attention
+from rgqa_tpu.ops.dropout import HiddenDropout
 
 __all__ = ["ViltForGQA", "ViltAnswerHead", "ViTBlock", "PatchEmbed"]
 
@@ -88,7 +89,7 @@ class ViTBlock(nn.Module):
         ctx = nn.Dense(
             c.hidden_size, kernel_init=dense_init, name="att_out", dtype=self.dtype
         )(ctx)
-        ctx = nn.Dropout(c.hidden_dropout)(ctx, deterministic=deterministic)
+        ctx = HiddenDropout(c.hidden_dropout)(ctx, deterministic=deterministic)
         x = x + ctx
 
         h = LayerNorm(eps=1e-6, name="norm2")(x)
@@ -100,7 +101,7 @@ class ViTBlock(nn.Module):
         h = nn.Dense(
             c.hidden_size, kernel_init=dense_init, name="mlp_out", dtype=self.dtype
         )(h)
-        h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
+        h = HiddenDropout(c.hidden_dropout)(h, deterministic=deterministic)
         return x + h
 
 

@@ -130,8 +130,21 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
     backward block-32 overflow)."""
 
     def est(bt):
-        io = bt * e * itemsize * ((3 * sq + 4 * skv) if bwd else (2 * sq + 2 * skv))
-        scratch = bt * sq * skv * 4 * (8 if bwd else 3)
+        # VMEM tiles are (8, 128): the sequence (sublane) dim rounds up
+        # to a multiple of 8 (36 -> 40).
+        sq_p, skv_p = -(-sq // 8) * 8, -(-skv // 8) * 8
+        io = bt * e * itemsize * (
+            (3 * sq_p + 4 * skv_p) if bwd else (2 * sq_p + 2 * skv_p)
+        )
+        scratch = bt * sq_p * skv_p * 4 * (8 if bwd else 3)
+        # Long grids double-buffer the io slices: measured on v5e, the
+        # 36x36 fwd block-32 kernel compiles up to 1856 rows (58 cells)
+        # but hits a 17.36 MB scoped-vmem OOM at 1920 rows (60 cells) —
+        # per-cell footprint unchanged, so Mosaic deepens its pipeline
+        # on long grids.  Count io twice there (drops 1920-row forwards,
+        # e.g. the 5x384 MC-dropout fold, to block 16).
+        if b // bt >= 59:
+            io *= 2
         return io + scratch
 
     bt = min(default, b)
@@ -340,28 +353,74 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # per-head generation order) to reconstruct the identical mask.
 # ---------------------------------------------------------------------------
 
-# Forward and backward must share a block size: the mask is regenerated in
-# the backward by replaying (seed + program_id) per block.  16 fits the
-# backward's VMEM budget and beats 8 (train step 123 -> 116 ms, 5-pass
-# MC-dropout 1,641 -> 1,737 q/s).
+# The dropout mask is regenerated in the backward by seed replay, so both
+# kernels must draw identical bits — but they need NOT share a block size:
+# bits are keyed per (16-row *sub-block*, head), the backward's block
+# granularity.  The forward then runs at the deterministic kernel's block
+# 32 (measured: the block-16 penalty on the 34 attention matmuls cost the
+# 5-pass MC-dropout scorer ~7 ms/pass) while the backward — whose ~8
+# f32 scratch buffers OOM the 16 MB VMEM scope at block 32 — replays at
+# its own block 16, reconstructing the same mask sub-block by sub-block.
 _DROP_BATCH_BLOCK = 16
 
 
-def _drop_mask(shape, rate):
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    threshold = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
-    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+# One uint32 PRNG word feeds FOUR heads (one byte each).  The hardware
+# RNG's bit throughput is the measured bottleneck of dropout-on forwards
+# (~500 MB of mask words per full-model pass at batch 384 when drawing a
+# word per (head, prob)); bytes cut that 4x.  The drop rate quantizes to
+# 1/256 — the keep-scale uses the quantized probability so E[out] = x
+# holds exactly, the same contract as ops/dropout.py's cheap_dropout.
+_HEADS_PER_DRAW = 4
+
+
+def _keep_threshold(rate):
+    """(threshold, keep_p) with P(byte >= threshold) = keep_p exactly."""
+    t = int(round(min(max(float(rate), 0.0), 1.0) * 256.0))
+    return t, (256 - t) / 256.0
+
+
+def _group_bits(seed0, global_sub, group, ngroups, shape):
+    """uint32 mask words for one (sub-block, head-group): an independent
+    PRNG stream keyed on (seed, sub-block index, group) so any kernel
+    covering the sub-block — forward at block 32, backward at block 16 —
+    regenerates identical bits."""
+    pltpu.prng_seed(seed0 + global_sub * ngroups + group)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _byte_keep(bits, j, threshold):
+    """Head ``j``'s keep-mask: byte ``j`` of each word vs the threshold."""
+    byte = (bits >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+    return byte >= jnp.uint32(threshold)
 
 
 def _fused_drop_kernel(
-    q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref, *, num_heads, head_dim, rate
+    q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
+    *, num_heads, head_dim, rate, sub,
 ):
     scale = 1.0 / math.sqrt(head_dim)
     bias = m_ref[:][:, None, :]
     d = head_dim
     in_dtype = q_ref.dtype
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    keep_scale = 1.0 / (1.0 - rate)
+    bt, sq, _ = q_ref.shape
+    skv = k_ref.shape[1]
+    nsub = bt // sub
+    t, keep_p = _keep_threshold(rate)
+    keep_scale = 1.0 / keep_p
+    ngroups = -(-num_heads // _HEADS_PER_DRAW)
+    bits = [
+        jnp.concatenate(
+            [
+                _group_bits(
+                    seed_ref[0], pl.program_id(0) * nsub + i, g, ngroups,
+                    (sub, sq, skv),
+                )
+                for i in range(nsub)
+            ],
+            axis=0,
+        )
+        for g in range(ngroups)
+    ]
     for h in range(num_heads):
         qh = q_ref[:, :, h * d:(h + 1) * d]
         kh = k_ref[:, :, h * d:(h + 1) * d]
@@ -374,7 +433,9 @@ def _fused_drop_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        keep = _drop_mask(p.shape, rate)
+        keep = _byte_keep(
+            bits[h // _HEADS_PER_DRAW], h % _HEADS_PER_DRAW, t
+        )
         p = jnp.where(keep, p * keep_scale, 0.0).astype(in_dtype)
         o = jax.lax.dot_general(
             p, vh, (((2,), (1,)), ((0,), (0,))),
@@ -386,15 +447,24 @@ def _fused_drop_kernel(
 def _fused_drop_bwd_kernel(
     q_ref, k_ref, v_ref, m_ref, seed_ref, g_ref,
     dq_ref, dk_ref, dv_ref, db_ref,
-    *, num_heads, head_dim, rate,
+    *, num_heads, head_dim, rate, sub,
 ):
     """Backward with seed-replay: regenerates the forward's dropout mask
-    (same seed, same program_id, same per-head order/shapes)."""
+    per (sub-block, head) — its block size IS the sub-block, so
+    ``program_id`` indexes sub-blocks directly."""
     scale = 1.0 / math.sqrt(head_dim)
     bias = m_ref[:][:, None, :]
     d = head_dim
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    keep_scale = 1.0 / (1.0 - rate)
+    assert q_ref.shape[0] == sub
+    sq = q_ref.shape[1]
+    skv = k_ref.shape[1]
+    t, keep_p = _keep_threshold(rate)
+    keep_scale = 1.0 / keep_p
+    ngroups = -(-num_heads // _HEADS_PER_DRAW)
+    bits = [
+        _group_bits(seed_ref[0], pl.program_id(0), g, ngroups, (sub, sq, skv))
+        for g in range(ngroups)
+    ]
     db_acc = jnp.zeros(m_ref.shape, jnp.float32)
     for h in range(num_heads):
         qh = q_ref[:, :, h * d:(h + 1) * d]
@@ -409,7 +479,9 @@ def _fused_drop_bwd_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        keep = _drop_mask(p.shape, rate)
+        keep = _byte_keep(
+            bits[h // _HEADS_PER_DRAW], h % _HEADS_PER_DRAW, t
+        )
         p_drop = jnp.where(keep, p * keep_scale, 0.0)
         dp_drop = jax.lax.dot_general(
             gh, vh.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
@@ -437,12 +509,25 @@ def _fused_drop_bwd_kernel(
     db_ref[:] = db_acc
 
 
-def _drop_call(kernel, outs, q, k, v, bias_kv, seed, g=None):
+def _drop_sub_block(b, sq, skv, e, itemsize):
+    """Seed-replay granularity: the backward's block size (its ~8 f32
+    scratch buffers set the VMEM bound)."""
+    return _fit_block(_DROP_BATCH_BLOCK, b, sq, skv, e, itemsize, bwd=True)
+
+
+def _drop_call(make_kernel, outs, q, k, v, bias_kv, seed, g=None):
     b, sq, e = q.shape
     skv = k.shape[1]
-    # Forward and backward MUST agree on the block (seed replay is per
-    # program_id), so both fit against the larger backward footprint.
-    bt = _fit_block(_DROP_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize, bwd=True)
+    # Mask bits are keyed per (sub-block, head): the backward runs at
+    # block == sub, the forward at the largest sub-multiple its own
+    # (smaller) footprint allows — block 32 at RGQA shapes.
+    sub = _drop_sub_block(b, sq, skv, e, q.dtype.itemsize)
+    if g is None:
+        fwd_fit = _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize)
+        bt = max((fwd_fit // sub) * sub, sub)
+    else:
+        bt = sub
+    kernel = make_kernel(sub)
     pad = (-b) % bt
     arrays = [q, k, v]
     if g is not None:
@@ -484,8 +569,9 @@ def _fused_drop(q, k, v, bias_kv, seed, num_heads, rate):
         )
 
     out, pad, b = _drop_call(
-        functools.partial(
-            _fused_drop_kernel, num_heads=num_heads, head_dim=d, rate=rate
+        lambda sub: functools.partial(
+            _fused_drop_kernel,
+            num_heads=num_heads, head_dim=d, rate=rate, sub=sub,
         ),
         outs, q, k, v, bias_kv, seed,
     )
@@ -517,8 +603,9 @@ def _fused_drop_bwd(num_heads, rate, res, g):
         )
 
     (dq, dk, dv, db), pad, b = _drop_call(
-        functools.partial(
-            _fused_drop_bwd_kernel, num_heads=num_heads, head_dim=d, rate=rate
+        lambda sub: functools.partial(
+            _fused_drop_bwd_kernel,
+            num_heads=num_heads, head_dim=d, rate=rate, sub=sub,
         ),
         outs, q, k, v, bias_kv, seed, g=g.astype(q.dtype),
     )

@@ -110,49 +110,56 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
     """MC-dropout (``gqa_dropout.py:92-118``): answer = majority vote of
     the per-pass argmaxes, score = mean of per-pass max-sigmoid.
 
-    The reference loops over seeds re-enabling dropout modules; here the
-    S stochastic passes **fold into the batch dimension**: the batch is
-    tiled S-fold and one forward runs with dropout on — every row draws
-    an independent mask (flax dropout masks are per-element; the
-    in-kernel TPU-PRNG path seeds per batch-block), so rows
-    ``[i*B:(i+1)*B]`` ARE pass ``i``.  One dispatch at S*B rows replaces
-    S dispatches at B: better MXU utilisation, one fetch.  Vote ties
-    break toward the first pass's answer (the reference's
-    ``Counter.most_common`` insertion-order behavior), then toward the
-    lower class index.
+    The reference loops over seeds re-enabling dropout modules, one
+    dispatch per pass; here the S stochastic passes run as a
+    ``lax.scan`` **inside one jitted program** — one dispatch, one
+    fetch, and each pass keeps the serving batch size (the measured
+    optimum: folding the passes into the batch dimension instead pushed
+    the attention kernels onto long grids and their smaller batch
+    block, a net loss — docs/kernels.md).  Vote ties break toward the
+    first pass's answer (the reference's ``Counter.most_common``
+    insertion-order behavior), then toward the lower class index.
     """
     seeds = [int(s) for s in seed_list]
     n_pass = len(seeds)
     # The seed list's values fold into the PRNG key so distinct lists
     # give distinct stochastic draws (the list's *length* sets S).
     # ``rbg`` impl: the hidden-dropout masks draw bits over every
-    # (S*B, seq, 768) activation — threefry generates those on the VPU
+    # (B, seq, hidden) activation — threefry generates those on the VPU
     # at matmul-competitive cost, while rbg uses the hardware RNG.
     key0 = jax.random.key(seeds[0], impl="rbg")
     for s in seeds[1:]:
         key0 = jax.random.fold_in(key0, s)
 
-    def tile(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        return jnp.tile(x, (n_pass,) + (1,) * (x.ndim - 1))
-
     @jax.jit
     def score_fn(params, batch):
-        tiled = jax.tree_util.tree_map(tile, batch)
-        out = forward(params, tiled, deterministic=False, rng=key0)
-        logits = out["logits"].astype(jnp.float32)
-        if logits.ndim == 1:
-            logits = logits[:, None]
-        num_answers = logits.shape[-1]
-        probs = jax.nn.sigmoid(logits).reshape(n_pass, -1, num_answers)
-        labels = jnp.argmax(probs, axis=-1)  # (S, B)
-        votes = jnp.sum(jax.nn.one_hot(labels, num_answers), axis=0)  # (B, A)
-        votes = votes + 0.5 * jax.nn.one_hot(labels[0], num_answers)
-        return {
-            "label": jnp.argmax(votes, axis=-1),
-            "score": jnp.mean(jnp.max(probs, axis=-1), axis=0),
-        }
+        def one_pass(_, i):
+            out = forward(
+                params, batch, deterministic=False,
+                rng=jax.random.fold_in(key0, i),
+            )
+            logits = out["logits"].astype(jnp.float32)
+            if logits.ndim == 1:
+                logits = logits[:, None]
+            probs = jax.nn.sigmoid(logits)
+            return None, (jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1))
+
+        _, (labels, maxp) = jax.lax.scan(
+            one_pass, None, jnp.arange(n_pass)
+        )  # labels/maxp: (S, B)
+        first = labels[0]
+        # Majority vote without materialising a (B, num_answers) count
+        # table: each pass's candidate scores how many passes agree with
+        # it (S is tiny, e.g. 5, so the (S, S, B) equality is cheap).
+        eq = labels[:, None, :] == labels[None, :, :]  # (S, S, B)
+        tally = jnp.sum(eq, axis=0).astype(jnp.float32)  # (S, B)
+        tally = tally + 0.5 * (labels == first[None, :])
+        # Break remaining ties toward the lower class index: subtract an
+        # epsilon monotone in the label value.
+        tally = tally - labels.astype(jnp.float32) * 1e-9
+        best_pass = jnp.argmax(tally, axis=0)  # (B,)
+        label = jnp.take_along_axis(labels, best_pass[None, :], axis=0)[0]
+        return {"label": label, "score": jnp.mean(maxp, axis=0)}
 
     return score_fn
 

@@ -344,7 +344,12 @@ def make_train_step(
         with questions rolled by the host-chosen ``neg_shift`` (so the host
         could compute similarity weights for exactly these pairs); loss =
         0.5 * (pos BCE + similarity-weighted negative BCE)."""
-        r1, r2 = jax.random.split(rng)
+        r1, r2 = (
+            jax.random.wrap_key_data(
+                jax.random.bits(r, (4,), jnp.uint32), impl="rbg"
+            )
+            for r in jax.random.split(rng)
+        )
         out_pos = forward(params, batch, deterministic=False, rng=r1)
         lp = out_pos["logits"].astype(jnp.float32)
         k = lp.shape[-1]
@@ -374,6 +379,12 @@ def make_train_step(
         if weighted_rp:
             return weighted_rp_loss(params, batch, rng)
         drop_rng, aug_rng = jax.random.split(rng)
+        # Dropout masks draw bits over every hidden activation; route
+        # them through the hardware RNG (rbg) instead of threefry —
+        # augmentation draws keep the original key chain.
+        drop_rng = jax.random.wrap_key_data(
+            jax.random.bits(drop_rng, (4,), jnp.uint32), impl="rbg"
+        )
         if sample_pair:
             batch = rp_augment(batch, aug_rng)
         elif mixup_mode:

@@ -40,6 +40,17 @@ class TestFusedAttentionKernel:
         out = _fused_pallas_raw(q, k, v, bias, H)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_fit_block_halves_on_long_grids(self):
+        # Measured on v5e (docs/kernels.md): the 36x36 fwd kernel at
+        # block 32 compiles at <= 1856 rows but scoped-vmem-OOMs at
+        # 1920 (the 5x384 MC-dropout fold).  The estimator must keep
+        # block 32 for ordinary batches and drop long grids to 16.
+        from rgqa_tpu.ops.attention import _fit_block
+
+        assert _fit_block(32, 384, 36, 36, 768, 2) == 32
+        assert _fit_block(32, 1856, 36, 36, 768, 2) == 32
+        assert _fit_block(32, 1920, 36, 36, 768, 2) == 16
+
     def test_batch_padding(self):
         # batch not a multiple of the kernel's batch block
         q, k, v, bias = _inputs(b=19)
@@ -188,3 +199,21 @@ class TestDropoutKernel:
         g5b = jax.grad(lambda q: loss(_fused_drop, q, k, v, bias, seed, H, 0.5))(q)
         assert np.isfinite(np.asarray(g5)).all()
         np.testing.assert_array_equal(np.asarray(g5), np.asarray(g5b))
+
+    def test_mask_replay_across_block_sizes(self):
+        # At b=40 the forward runs at block 32 while the backward replays
+        # at block 16 (per-sub-block seeding).  Attention output is linear
+        # in v with matrix P_drop, so <g, out> == <dv, v> holds exactly
+        # IFF the backward regenerates the forward's mask.
+        from rgqa_tpu.ops.attention import _fused_drop
+
+        q, k, v, bias, seed = self._inputs(b=40)
+
+        out, vjp = jax.vjp(
+            lambda v: _fused_drop(q, k, v, bias, seed, H, 0.5), v
+        )
+        g = jax.random.normal(jax.random.PRNGKey(9), out.shape, out.dtype)
+        (dv,) = vjp(g)
+        lhs = float(jnp.sum(out.astype(jnp.float32) * g))
+        rhs = float(jnp.sum(dv.astype(jnp.float32) * v))
+        np.testing.assert_allclose(lhs, rhs, rtol=2e-3)
