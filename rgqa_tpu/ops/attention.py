@@ -111,12 +111,14 @@ _BATCH_BLOCK = 32  # samples per grid cell; best of {8,16,32} on v5e
 # 8 (ODIN 3152 vs 3084 q/s model-wide).
 _BWD_BATCH_BLOCK = 16
 
-# VMEM budget the block-fit loop targets.  The defaults above are the
+# VMEM budget the block-fit loop targets (hardware scoped limit is
+# 16 MiB; 15 leaves margin for the estimate's error, which measured
+# within ~0.7 MiB on every OOM observed).  The defaults above are the
 # measured optima for RGQA's 20/36-token shapes and are kept verbatim
 # (the estimate keeps them under budget); longer streams — ViLT's
 # 40 text + 145 patch tokens = 185 — halve the block until the
-# per-grid-cell footprint fits.
-_VMEM_BUDGET = 14 * 2**20
+# per-grid-cell footprint fits, or fall back to XLA when none does.
+_VMEM_BUDGET = 15 * 2**20
 
 
 def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
@@ -125,9 +127,13 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
 
     Footprint per grid cell ~= the in/out tensor slices
     (q/o rows at sq, k/v rows at skv; backward adds g/dq/dk/dv) plus the
-    f32 score/prob scratch the compiler keeps live (~3 fwd / ~8 bwd
-    (Bt, Sq, Skv) buffers, calibrated against the measured 19.4 MB
-    backward block-32 overflow)."""
+    f32 score/prob scratch the compiler keeps live ((Bt, Sq, Skv) units,
+    calibrated against measured scoped-vmem overflows — see ``est``).
+
+    Returns 0 when no lowerable block fits: Mosaic requires the mask
+    block's sublane dim (the batch block) be a multiple of 8 or the full
+    batch, so blocks < 8 are not an option — callers fall back to the
+    XLA path instead."""
 
     def est(bt):
         # VMEM tiles are (8, 128): the sequence (sublane) dim rounds up
@@ -136,21 +142,33 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
         io = bt * e * itemsize * (
             (3 * sq_p + 4 * skv_p) if bwd else (2 * sq_p + 2 * skv_p)
         )
-        scratch = bt * sq_p * skv_p * 4 * (8 if bwd else 3)
-        # Long grids double-buffer the io slices: measured on v5e, the
-        # 36x36 fwd block-32 kernel compiles up to 1856 rows (58 cells)
-        # but hits a 17.36 MB scoped-vmem OOM at 1920 rows (60 cells) —
-        # per-cell footprint unchanged, so Mosaic deepens its pipeline
-        # on long grids.  Count io twice there (drops 1920-row forwards,
-        # e.g. the 5x384 MC-dropout fold, to block 16).
-        if b // bt >= 59:
+        # The f32 (Bt, Sq, Skv) score/prob scratch Mosaic keeps live.
+        # The bwd multiplier is calibrated against the measured 19.4 MB
+        # block-32 backward overflow (io 13.1 MiB + 32 units = 19.375):
+        # ~8 logical buffers times the vectorizer's live copies.
+        scratch = bt * sq_p * skv_p * 4 * (32 if bwd else 3)
+        # Long grids double-buffer the io slices: Mosaic deepens its
+        # pipeline once the grid is long enough for per-cell DMA to
+        # overlap, roughly doubling the io footprint.  Measured points
+        # (v5e): the ViLT 165x165 fwd block-8 kernel runs at 16 cells
+        # but hits an 18.23 MB scoped-vmem OOM (= io*2 + scratch) at
+        # both 24 and 32 cells, so the fwd deepening starts in (16, 24]
+        # — cliff 17.  The backward shows no deepening through the
+        # ODIN block-16 config's 24 cells (measured good), so its cliff
+        # sits just past that, at 25.  One conservative call: the 36x36
+        # fwd block-32 kernel measured OK at 58 cells / OOM at 60
+        # (17.36 MB), which cliff 17 halves to 16 — only the refuted
+        # MC-dropout batch-fold ever reached such grids.
+        if b // bt >= (25 if bwd else 17):
             io *= 2
         return io + scratch
 
     bt = min(default, b)
-    while bt > 1 and est(bt) > _VMEM_BUDGET:
+    while bt >= 1:
+        if est(bt) <= _VMEM_BUDGET and (bt % 8 == 0 or bt == b):
+            return bt
         bt //= 2
-    return bt
+    return 0
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, num_heads, head_dim):
@@ -333,6 +351,21 @@ def _fused_fwd(q, k, v, bias_kv, num_heads):
 
 def _fused_bwd(num_heads, res, g):
     q, k, v, bias_kv = res
+    fit = _fit_block(
+        _BWD_BATCH_BLOCK, q.shape[0], q.shape[1], k.shape[1], q.shape[-1],
+        q.dtype.itemsize, bwd=True,
+    )
+    if fit == 0:
+        # No lowerable backward block at this shape (long streams on long
+        # grids, e.g. ViLT 165 tokens at batch >= 256): differentiate the
+        # numerics-identical XLA path instead.
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, m_: _attention_natural_xla(
+                q_, k_, v_, m_, num_heads
+            ),
+            q, k, v, bias_kv,
+        )
+        return vjp(g.astype(q.dtype))
     dq, dk, dv, db = _fused_bwd_pallas_raw(
         q, k, v, bias_kv, g.astype(q.dtype), num_heads
     )
@@ -626,13 +659,41 @@ def fused_attention_dropout(
     kernel adds the grid index).  TPU-only — callers fall back to the
     explicit-probs path elsewhere.  The dropout stream differs from
     flax's ``nn.Dropout`` (TPU hardware PRNG vs threefry) but has the
-    same (rate, 1/(1-rate)) Bernoulli semantics.
+    same quantized (rate, 1/keep_p) Bernoulli semantics.
+
+    Shapes where no lowerable kernel block fits VMEM (long streams on
+    long grids) fall back to an XLA explicit-probs path with the same
+    quantized-rate contract (threefry stream instead of the TPU PRNG).
     """
-    b, _, _ = q.shape
+    b, sq, e = q.shape
     skv = k.shape[1]
     bias_kv = bias_vector(bias, b, skv)
+    if _drop_sub_block(b, sq, skv, e, q.dtype.itemsize) == 0:
+        return _attention_dropout_xla(
+            q, k, v, bias_kv, num_heads, float(rate), rng
+        )
     seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
     return _fused_drop(q, k, v, bias_kv, seed, num_heads, float(rate))
+
+
+def _attention_dropout_xla(q, k, v, bias_kv, num_heads, rate, rng):
+    """XLA attention-prob dropout with the kernel's quantized-rate
+    contract (drop rate t/256, keep scale 256/(256-t)) for shapes the
+    Pallas kernels can't lower."""
+    b, sq, e = q.shape
+    skv = k.shape[1]
+    d = e // num_heads
+    qh = q.reshape(b, sq, num_heads, d)
+    kh = k.reshape(b, skv, num_heads, d)
+    vh = v.reshape(b, skv, num_heads, d)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d)
+    scores = scores.astype(jnp.float32) + bias_kv[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    t, keep_p = _keep_threshold(rate)
+    byte = jax.random.randint(rng, probs.shape, 0, 256, jnp.int32)
+    probs = jnp.where(byte >= t, probs / keep_p, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh.astype(jnp.float32))
+    return out.reshape(b, sq, e).astype(q.dtype)
 
 
 def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = False):
@@ -648,6 +709,11 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
     skv = k.shape[1]
     bias_kv = bias_vector(bias, b, skv)
     if force_xla or not pallas_enabled():
+        return _attention_natural_xla(q, k, v, bias_kv, num_heads)
+    sq = q.shape[1]
+    if _fit_block(_BATCH_BLOCK, b, sq, skv, q.shape[-1], q.dtype.itemsize) == 0:
+        # No lowerable batch block fits VMEM at this shape (long streams
+        # on long grids) — the XLA path wins by default.
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     return _fused(q, k, v, bias_kv, num_heads)
 

@@ -41,15 +41,31 @@ class TestFusedAttentionKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     def test_fit_block_halves_on_long_grids(self):
-        # Measured on v5e (docs/kernels.md): the 36x36 fwd kernel at
-        # block 32 compiles at <= 1856 rows but scoped-vmem-OOMs at
-        # 1920 (the 5x384 MC-dropout fold).  The estimator must keep
-        # block 32 for ordinary batches and drop long grids to 16.
+        # Measured on v5e (docs/kernels.md): long grids roughly double
+        # the per-cell io footprint (Mosaic pipeline deepening).  OOMs
+        # seen at 60 cells (36x36 fwd block 32, 1920 rows — the 5x384
+        # MC-dropout fold) and 32 cells (165-token ViLT fwd block 8,
+        # batch 256); every shipped config runs at <= 24 cells.  The
+        # estimator must keep the measured-optimal blocks for ordinary
+        # batches, halve long grids, and return 0 (XLA fallback) when
+        # no Mosaic-lowerable block (>= 8 rows) fits.
         from rgqa_tpu.ops.attention import _fit_block
 
         assert _fit_block(32, 384, 36, 36, 768, 2) == 32
-        assert _fit_block(32, 1856, 36, 36, 768, 2) == 32
         assert _fit_block(32, 1920, 36, 36, 768, 2) == 16
+        # Backward block 32 measured a 19.4 MB scoped-vmem OOM; 16 runs
+        # (the ODIN grad-at-eval config, good at its 24-cell grid).
+        assert _fit_block(32, 384, 36, 36, 768, 2, bwd=True) == 16
+        assert _fit_block(16, 384, 36, 36, 768, 2, bwd=True) == 16
+        # ViLT 165-token stream: block 8 at 16 cells runs; 24 and 32
+        # cells OOM (18.23 MB) -> no valid block (4 is not
+        # Mosaic-lowerable) -> XLA fallback.  Same for its backward.
+        assert _fit_block(32, 128, 165, 165, 768, 2) == 8
+        assert _fit_block(32, 192, 165, 165, 768, 2) == 0
+        assert _fit_block(32, 256, 165, 165, 768, 2) == 0
+        assert _fit_block(16, 128, 165, 165, 768, 2, bwd=True) == 0
+        # Tiny batches may use the full batch as the block (grid of 1).
+        assert _fit_block(32, 2, 8, 8, 32, 2) == 2
 
     def test_batch_padding(self):
         # batch not a multiple of the kernel's batch block
