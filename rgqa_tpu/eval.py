@@ -1,0 +1,468 @@
+"""Inference / rejection-scoring surface of the GQA runner.
+
+Split out of ``runner.py`` so the training driver and the evaluation
+stack grow independently (the reference spread this over ~18 per-strategy
+driver files: ``gqa_conf.py:245-353``, ``gqa_ensemble.py``,
+``gqa_fasterrcnn.py``, ``gqa_clip.py``, ``gqa_lxrcap.py``,
+``gqa_maha.py``, ``gqa_separate.py``, ``gqa_vis_att.py`` ...).
+
+``ScoringMixin`` expects the host class to provide ``cfg``, ``params``,
+``mesh``, ``forward``, ``eval_step``, ``model_cfg``, ``label2ans``,
+``features``, ``train_set``, ``output``, ``predict``-compatible
+``_encode`` and ``load`` — i.e. :class:`rgqa_tpu.runner.GQARunner`.
+
+Every eval loop here is pipelined both ways (``_map_eval``): inputs
+prefetched ahead of the dispatch front, outputs fetched lag-N behind it,
+so host transfers overlap device compute (measured in docs/kernels.md
+"Production scoring pipeline").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgqa_tpu.data import EncodedGQA, batch_iterator, device_prefetch
+from rgqa_tpu.data.batching import pipelined_map
+from rgqa_tpu.metrics import ClosedSetEvaluator, RGQAEvaluator, dump_predictions
+from rgqa_tpu.scorers import calibrate_tau, fit_estimator, make_scorer
+
+__all__ = ["ScoringMixin"]
+
+
+class ScoringMixin:
+    """Prediction, OOD scoring, and calibrated-threshold evaluation."""
+
+    # ------------------------------------------------------------------
+    # Pipelined eval plumbing
+    # ------------------------------------------------------------------
+
+    def _iter_eval(self, encoded: EncodedGQA, *, with_target: bool = False):
+        bs = self.cfg.train.batch_size
+        return device_prefetch(
+            batch_iterator(
+                encoded, bs, shuffle=False, with_target=with_target
+            ),
+            self.mesh,
+            # bf16 models consume feats/pixels as bf16 — casting on host
+            # halves the dominant host->device bytes (docs/kernels.md).
+            feed_bf16=self.cfg.train.use_bf16,
+        )
+
+    def _map_eval(
+        self,
+        encoded: EncodedGQA,
+        step_fn,
+        *,
+        select: Optional[tuple] = None,
+        with_target: bool = False,
+    ):
+        """Run ``step_fn(batch)`` over a split, pipelined both ways:
+        inputs prefetched ahead of the dispatch front (`device_prefetch`),
+        outputs fetched ``lag`` dispatches behind it (`pipelined_map`) so
+        the tunnel RTT of each host transfer overlaps device compute.
+        Yields ``(qids, numpy outputs, real)``."""
+
+        def fn(batch):
+            out = step_fn(batch)
+            if select is not None:
+                out = {k: out[k] for k in select if k in out}
+            return out
+
+        return pipelined_map(
+            fn, self._iter_eval(encoded, with_target=with_target)
+        )
+
+    # ------------------------------------------------------------------
+    # Closed-set prediction (gqa_conf.py:245-260)
+    # ------------------------------------------------------------------
+
+    def predict(self, encoded: EncodedGQA, dump: Optional[str] = None) -> dict:
+        """Closed-set predictions {qid: answer} (``gqa_conf.py:245-260``)."""
+        quesid2ans = {}
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: self.eval_step(self.params, b),
+            select=("label",),
+        ):
+            for qid, l in zip(qids, out["label"][:real]):
+                quesid2ans[qid] = self.label2ans[int(l)]
+        if dump:
+            ClosedSetEvaluator(encoded.dataset.qid2label).dump_result(
+                quesid2ans, dump
+            )
+        return quesid2ans
+
+    def evaluate(self, encoded: EncodedGQA) -> float:
+        """Soft accuracy on a labeled split."""
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        return evaluator.evaluate(self.predict(encoded))
+
+    def topk_predict(
+        self, encoded: EncodedGQA, k: int = 4, dump: Optional[str] = None
+    ) -> float:
+        """Top-k oracle accuracy: count the gold answer as correct when it
+        appears in the top-k proposals (``gqa.py:196-217``)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def topk_step(params, batch, k):
+            out = self.forward(params, batch, deterministic=True)
+            return jax.lax.top_k(out["logits"].astype(jnp.float32), k)[1]
+
+        quesid2ans = {}
+        for qids, idx, real in self._map_eval(
+            encoded, lambda b: topk_step(self.params, b, k)
+        ):
+            for qid, proposals in zip(qids, idx[:real]):
+                label = encoded.dataset.id2datum[qid].get("label") or {}
+                gold = next(iter(label), None)
+                names = [self.label2ans[int(p)] for p in proposals]
+                quesid2ans[qid] = gold if gold in names else names[0]
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        if dump:
+            evaluator.dump_result(quesid2ans, dump)
+        return evaluator.evaluate(quesid2ans)
+
+    @staticmethod
+    def oracle_score(encoded: EncodedGQA) -> float:
+        """Upper-bound accuracy from the targets alone (``gqa.py:244-253``)."""
+        evaluator = ClosedSetEvaluator(encoded.dataset.qid2label)
+        quesid2ans = {}
+        for qid in encoded.question_ids:
+            label = encoded.dataset.id2datum[qid].get("label") or {}
+            best = max(label, key=label.get) if label else ""
+            quesid2ans[qid] = best
+        return evaluator.evaluate(quesid2ans)
+
+    def dump_attention(
+        self, encoded: EncodedGQA, out_dir: str, limit: Optional[int] = None
+    ) -> int:
+        """Dump cross-modal attention maps per question
+        (reference ``gqa_vis_att.py:263-299`` via the ``lxrt_vis`` fork;
+        here ``output_probs=True`` on the shared encoder).
+
+        Writes ``<out_dir>/<qid>.npz`` with ``lang2visn_{i}`` /
+        ``visn2lang_{i}`` arrays per cross-modal layer; returns the count.
+        """
+        os.makedirs(out_dir, exist_ok=True)
+
+        @jax.jit
+        def viz_step(params, batch):
+            out = self.forward(
+                params, batch, deterministic=True, output_probs=True
+            )
+            return out["x_attention_probs"]
+
+        written = 0
+        for qids, probs, real in self._map_eval(
+            encoded, lambda b: viz_step(self.params, b)
+        ):
+            for row, qid in enumerate(qids[:real]):
+                arrays = {}
+                for i, (l2v, v2l) in enumerate(probs):
+                    arrays[f"lang2visn_{i}"] = l2v[row]
+                    arrays[f"visn2lang_{i}"] = v2l[row]
+                np.savez(os.path.join(out_dir, f"{qid}.npz"), **arrays)
+                written += 1
+                if limit and written >= limit:
+                    return written
+        return written
+
+    # ------------------------------------------------------------------
+    # Rejection scoring (gqa_conf.py:297-333 and siblings)
+    # ------------------------------------------------------------------
+
+    def make_scorer(self, name: Optional[str] = None):
+        ocfg = self.cfg.ood
+        name = name or ocfg.scorer
+        opts = dict(
+            temperature=ocfg.temperature,
+            noise=ocfg.noise,
+            topk=2,
+            seed_list=ocfg.seed_list or (0, 1, 2, 3, 4),
+            mix=ocfg.mix_branched_score,
+        )
+        if name == "maha":
+            opts["estimator"] = self.fit_maha_estimator()
+        if name == "msp" or name is None:
+            name = "msp"
+        return make_scorer(name, self.forward, **opts)
+
+    def score_split(
+        self, encoded: EncodedGQA, scorer=None, params=None
+    ) -> dict[str, tuple[str, float]]:
+        """{qid: (answer, confidence)} over a split with any scorer."""
+        scorer = scorer or self.make_scorer()
+        params = params if params is not None else self.params
+        quesid2ans = {}
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: scorer(params, b), select=("label", "score")
+        ):
+            labels = out["label"][:real]
+            scores = out["score"][:real]
+            for qid, l, s in zip(qids, labels, scores):
+                quesid2ans[qid] = (self.label2ans[int(l)], float(s))
+        return quesid2ans
+
+    def ood_evaluate(
+        self, encoded: EncodedGQA, dump: Optional[str] = None, scorer=None
+    ) -> dict:
+        """Rejection evaluation with the configured scorer
+        (``gqa_conf.py:297-333``)."""
+        quesid2ans = self.score_split(encoded, scorer=scorer)
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def gated_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        answerer,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """Separate-detector evaluation (``gqa_separate.py:200-234``):
+        this runner's model scores answerability (sigmoid of its single
+        logit); ``answerer`` (a GQARunner with a frozen GQA model) supplies
+        the answers."""
+        det = self.make_scorer("msp")  # max sigmoid of the 1-logit head
+        quesid2ans = {}
+        ans_encoded = answerer._encode(encoded.dataset)
+        answers = answerer.predict(ans_encoded)
+        for qids, out, real in self._map_eval(
+            encoded, lambda b: det(self.params, b), select=("score",)
+        ):
+            for qid, s in zip(qids, out["score"][:real]):
+                quesid2ans[qid] = (answers[qid], float(s))
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def ensemble_ood_evaluate(
+        self, encoded: EncodedGQA, ckpt_paths: list[str],
+        dump: Optional[str] = None,
+    ) -> dict:
+        """Mean/product ensemble over checkpoints (``gqa_ensemble.py``)."""
+        from rgqa_tpu.scorers import ensemble_merge, make_msp_scorer
+
+        msp = make_msp_scorer(self.forward)
+        all_qids: list[str] = []
+        prob_sets = []
+        for path in ckpt_paths:
+            self.load(path)
+            probs_per_batch = []
+            qids_seen = []
+            for qids, out, real in self._map_eval(
+                encoded, lambda b: msp(self.params, b), select=("probs",)
+            ):
+                probs_per_batch.append(out["probs"][:real])
+                qids_seen.extend(qids[:real])
+            prob_sets.append(np.concatenate(probs_per_batch, 0))
+            all_qids = qids_seen
+        merged = ensemble_merge(
+            [jnp.asarray(p) for p in prob_sets], self.cfg.ood.ensemble_method
+        )
+        labels = np.asarray(merged["label"])
+        scores = np.asarray(merged["score"])
+        quesid2ans = {
+            qid: (self.label2ans[int(l)], float(s))
+            for qid, l, s in zip(all_qids, labels, scores)
+        }
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def coverage_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        objects_vocab_path: str,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """FRCNN object-coverage rejection (``gqa_fasterrcnn.py:105-133``):
+        answers from this model's MSP argmax; confidence = 1 iff every
+        question noun stem matches a detected object name."""
+        from rgqa_tpu.scorers import coverage_scores, load_object_vocab
+
+        vocab = load_object_vocab(objects_vocab_path)
+        answers = self.predict(encoded)
+        ds = encoded.dataset
+        qids = list(encoded.question_ids)
+        sents = [ds.id2datum[q]["sent"] for q in qids]
+        rows = encoded.img_row
+        objects = [np.asarray(self.features.objects_id[r]) for r in rows]
+        scores = coverage_scores(sents, objects, vocab)
+        quesid2ans = {
+            qid: (answers[qid], float(s)) for qid, s in zip(qids, scores)
+        }
+        evaluator = RGQAEvaluator(ds.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def clip_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        similarity,
+        image_root: str,
+        dump: Optional[str] = None,
+        batch_size: int = 32,
+    ) -> dict:
+        """CLIP-score rejection (``gqa_clip.py:76-110``): answers from this
+        finetuned model's argmax, confidence = image-question cosine
+        similarity from ``similarity(images, texts) -> scores`` (a
+        ``scorers.clip.ClipScorer`` or any injected callable) over the raw
+        JPEGs under ``image_root``."""
+        from PIL import Image
+
+        from rgqa_tpu.data.images import GQAImageSource
+
+        source = GQAImageSource(image_root)
+        answers = self.predict(encoded)
+        ds = encoded.dataset
+        qids = list(encoded.question_ids)
+        quesid2ans = {}
+        for s in range(0, len(qids), batch_size):
+            chunk = qids[s : s + batch_size]
+            sents = [ds.id2datum[q]["sent"] for q in chunk]
+            imgs = []
+            for q in chunk:
+                with Image.open(source.path(ds.id2datum[q]["img_id"])) as im:
+                    imgs.append(im.convert("RGB"))
+            scores = similarity(imgs, sents)
+            for qid, sc in zip(chunk, scores):
+                quesid2ans[qid] = (answers[qid], float(sc))
+        evaluator = RGQAEvaluator(ds.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def match_ood_evaluate(
+        self,
+        encoded: EncodedGQA,
+        pretrain_params,
+        dump: Optional[str] = None,
+    ) -> dict:
+        """LXMERT cross-modal match rejection (``gqa_lxrcap.py:98-120``):
+        answers from this finetuned model, confidence from the pretraining
+        matched head's softmax[:, 1]."""
+        from rgqa_tpu.models.lxmert import LxmertPretraining
+
+        pre_model = LxmertPretraining(self.model_cfg.encoder, dtype=jnp.float32)
+
+        @jax.jit
+        def match_step(params, batch):
+            return pre_model.apply(
+                {"params": params},
+                batch["input_ids"], batch["input_mask"],
+                batch["segment_ids"], batch["feats"], batch["boxes"],
+                method=LxmertPretraining.match_score,
+            )
+
+        answers = self.predict(encoded)
+        quesid2ans = {}
+        for qids, scores, real in self._map_eval(
+            encoded, lambda b: match_step(pretrain_params, b)
+        ):
+            for qid, s in zip(qids, scores[:real]):
+                quesid2ans[qid] = (answers[qid], float(s))
+        evaluator = RGQAEvaluator(encoded.dataset.qid2label, tau=self.cfg.ood.tau)
+        results = evaluator.evaluate_quesid2ans(quesid2ans)
+        if dump:
+            dump_predictions(quesid2ans, dump)
+        return results
+
+    def fit_maha_estimator(self):
+        """Per-class means + shared precision over the train set
+        (``gqa_maha.py:120-189``), cached like the reference."""
+        cache = os.path.join(self.output, "sample_estimates.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                data = pickle.load(f)
+            from rgqa_tpu.scorers import MahaEstimator
+
+            return MahaEstimator(
+                jnp.asarray(data["mean"]), jnp.asarray(data["precision"])
+            )
+        assert self.train_set is not None, "maha needs the train split"
+
+        def pooled_step(batch):
+            out = self.eval_step(self.params, batch)
+            return {"pooled": out["pooled"], "target": batch["target"]}
+
+        def batches():
+            for _, out, real in self._map_eval(
+                self.train_set, pooled_step, with_target=True
+            ):
+                yield out["pooled"][:real], out["target"][:real]
+
+        est = fit_estimator(
+            batches(),
+            num_classes=self.model_cfg.num_answers,
+            feat_dim=self.model_cfg.encoder.hidden_size
+            if self.model_cfg.backbone != "butd"
+            else self.model_cfg.butd_hidden_dim,
+        )
+        with open(cache, "wb") as f:
+            pickle.dump(
+                {
+                    "mean": np.asarray(est.class_mean),
+                    "precision": np.asarray(est.precision),
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        return est
+
+    def get_pseudo_labels(
+        self, encoded: EncodedGQA, dump: Optional[str] = None
+    ) -> list[dict]:
+        """Teacher-label a split: each row's label becomes the model's
+        max-sigmoid answer with its confidence (``gqa_conf.py:335-353``)."""
+        quesid2ans = self.score_split(encoded)
+        rows = []
+        for qid in encoded.question_ids:
+            datum = dict(encoded.dataset.id2datum[qid])
+            ans, score = quesid2ans[qid]
+            datum["label"] = {ans: float(score)}
+            rows.append(datum)
+        if dump:
+            with open(dump, "w") as f:
+                json.dump(rows, f)
+            print(f"{len(rows)} pseudo data have been saved in {dump}.")
+        return rows
+
+    def predict_with_thresh(
+        self, encoded: EncodedGQA, dump: Optional[str] = None
+    ) -> dict:
+        """Calibrate tau at --target_acc on a labeled split, then threshold
+        (``gqa_conf.py:262-295``)."""
+        assert self.cfg.ood.target_acc is not None
+        quesid2ans = self.score_split(encoded)
+        targets, preds, scores = [], [], []
+        for qid, (ans, s) in quesid2ans.items():
+            label = encoded.dataset.id2datum[qid].get("label") or {}
+            targets.append(next(iter(label), "UQ"))
+            preds.append(ans)
+            scores.append(s)
+        tau = calibrate_tau(targets, preds, scores, self.cfg.ood.target_acc)
+        out = {
+            qid: (("UQ", s) if s < tau else (ans, s))
+            for qid, (ans, s) in quesid2ans.items()
+        }
+        if dump:
+            with open(dump, "w") as f:
+                json.dump({q: list(v) for q, v in out.items()}, f)
+        return {"tau": tau, "quesid2ans": out}
