@@ -12,6 +12,13 @@ platform).  Prints ONE JSON line
 "step_ms": ...}`` where examples/sec counts the pre-augmentation batch.
 
 Env: RGQA_BENCH_BATCH (default 128), RGQA_BENCH_ITERS (default 8).
+
+``RGQA_BENCH_PRETRAIN=1`` benchmarks the LXMERT *pretraining* step
+instead (reference ``src/pretrain/lxmert_pretrain.py:309-360``): the
+5-task loss (MLM + matched + obj/attr CE + feat smooth-L1 + QA) over the
+full 9/5/5 x 768 model with on-device matched-swap / word-mask / RoI-mask
+augmentation, 9500-answer QA head, batch 256 (the reference's pretrain
+batch size).
 """
 
 from __future__ import annotations
@@ -28,10 +35,101 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pretrain_main():
+    """ms/step for the full 5-task LXMERT pretraining step."""
+    from rgqa_tpu.config import EncoderConfig, ModelConfig
+    from rgqa_tpu.models.lxmert import LxmertPretraining
+    from rgqa_tpu.models.zoo import example_batch
+    from rgqa_tpu.pretrain.trainer import make_pretrain_step
+    from rgqa_tpu.train import bert_adam, create_train_state
+
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "256"))
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))
+
+    cfg = ModelConfig(backbone="lxmert")
+    num_answers = 9500  # reference all-dataset answer table size
+    if os.environ.get("RGQA_BENCH_TINY"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        cfg = ModelConfig(
+            backbone="lxmert",
+            encoder=EncoderConfig(
+                hidden_size=32, num_heads=4, intermediate_size=64,
+                vocab_size=128, l_layers=1, x_layers=1, r_layers=1,
+                num_objects=4, visual_feat_dim=16,
+            ),
+            num_answers=8, max_text_len=6,
+        )
+        num_answers = 8
+
+    enc = cfg.encoder
+    model = LxmertPretraining(enc, num_answers=num_answers, dtype=jnp.bfloat16)
+    host = example_batch(cfg, batch_size=batch_size, seed=0)
+    rng = np.random.default_rng(0)
+    host["obj_id"] = rng.integers(
+        0, enc.obj_vocab_size, (batch_size, enc.num_objects), dtype=np.int32
+    )
+    host["attr_id"] = rng.integers(
+        0, enc.attr_vocab_size, (batch_size, enc.num_objects), dtype=np.int32
+    )
+    # ~30% answerless rows, like caption-only pretraining data.
+    ans = rng.integers(0, num_answers, (batch_size,)).astype(np.int32)
+    ans[rng.random(batch_size) < 0.3] = -1
+    host["ans"] = ans
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["input_ids"][:2], batch["input_mask"][:2],
+        batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
+    )["params"]
+    tx = bert_adam(1e-4, warmup=0.05, t_total=100_000)
+    state = create_train_state(params, tx)
+    # donate=False: the step runs inside a scan body (outer jit owns the
+    # buffers), so per-call donation would be invalid.
+    step, _ = make_pretrain_step(model, tx, donate=False)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def train_n(state, batch, n):
+        def body(state, i):
+            state, parts = step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
+            )
+            total = sum(jnp.asarray(v, jnp.float32) for v in parts.values())
+            return state, total
+
+        return jax.lax.scan(body, state, jnp.arange(n), length=n)
+
+    state, losses = train_n(state, batch, iters)
+    np.asarray(losses)  # compile + warmup sync
+    start = time.perf_counter()
+    state, losses = train_n(state, batch, iters)
+    losses = np.asarray(losses)
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(losses).all()
+
+    print(
+        json.dumps(
+            {
+                "unit": "examples/sec/chip",
+                "mode": "pretrain",
+                "batch": batch_size,
+                "examples_per_sec": round(batch_size * iters / elapsed, 1),
+                "step_ms": round(elapsed / iters * 1e3, 2),
+            }
+        )
+    )
+
+
 def main():
     from rgqa_tpu.config import ModelConfig
     from rgqa_tpu.models.zoo import build_model, example_batch
     from rgqa_tpu.train import bert_adam, create_train_state, make_train_step
+
+    if os.environ.get("RGQA_BENCH_PRETRAIN"):
+        return pretrain_main()
 
     batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "128"))
     iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))

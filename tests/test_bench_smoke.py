@@ -60,6 +60,13 @@ def test_bench_train_contract():
     assert out["examples_per_sec"] > 0 and out["step_ms"] > 0
 
 
+def test_bench_pretrain_mode():
+    out = _run("bench_train.py", {"RGQA_BENCH_PRETRAIN": "1"})
+    assert out["unit"] == "examples/sec/chip"
+    assert out["mode"] == "pretrain"
+    assert out["examples_per_sec"] > 0 and out["step_ms"] > 0
+
+
 def test_bench_vilt_backbone():
     out = _run("bench.py", {"RGQA_BENCH_BACKBONE": "vilt"})
     assert out["metric"] == "vilt_gqa_inference_throughput"
