@@ -50,6 +50,80 @@ class TestPixelbert:
         # bicubic; scales differ so just check both carry real signal).
         assert crop.std() > 0.01 and pad[row_real].std() > 0.01
 
+    def test_normalize_arithmetic_exact(self):
+        # Numeric pin of the inception-normalize math
+        # (reference src/vilt/transforms/utils.py:47-49: (x/255 - .5)/.5):
+        # a constant-value image must map to the exact constant, resize
+        # included (a normalized resampling kernel preserves constants).
+        from PIL import Image
+
+        from rgqa_tpu.data.images import pixelbert_transform
+
+        for v in (0, 37, 128, 255):
+            img = Image.fromarray(np.full((64, 64, 3), v, np.uint8))
+            out = pixelbert_transform(img, 64, mode="crop")
+            expect = (v / 255.0 - 0.5) / 0.5
+            np.testing.assert_allclose(out, expect, atol=1e-6)
+
+    def test_resize_linear_precision(self):
+        # Numeric pin of the resize arithmetic: PIL's convolution
+        # resampling (BICUBIC, the reference's MinMaxResize kernel) has
+        # linear precision, so a horizontal ramp v(x) = 2x downscaled 2x
+        # must read v(out j) = 4j + 1 in the interior (output pixel j's
+        # center maps to source coordinate 2j + 0.5).  Pinning against
+        # the analytic values (not a PIL round-trip) keeps the test
+        # non-circular; +-1 absorbs uint8 rounding.
+        from PIL import Image
+
+        from rgqa_tpu.data.images import pixelbert_transform
+
+        w, h, size = 128, 128, 64
+        ramp = np.broadcast_to(
+            (2 * np.arange(w, dtype=np.uint8))[None, :, None], (h, w, 3)
+        )
+        out = pixelbert_transform(Image.fromarray(np.ascontiguousarray(ramp)), size, mode="crop")
+        vals = out[size // 2] * 0.5 + 0.5  # undo normalize -> [0, 1]
+        got = vals[:, 0] * 255.0
+        expect = 4.0 * np.arange(size) + 1.0
+        interior = slice(2, size - 2)  # kernel support clips at borders
+        np.testing.assert_allclose(got[interior], expect[interior], atol=1.0)
+
+    def test_resize_size_arithmetic_vs_reference(self):
+        # Pin the crop-mode scale choice against the reference's
+        # MinMaxResize size arithmetic (src/vilt/transforms/utils.py:
+        # 5-26: shorter -> size, longer capped at size*1333/800, both
+        # int(x+0.5) then //32*32), re-derived here.  For the typical
+        # 4:3 GQA shape both agree exactly; in general ours differs only
+        # by the //32 floor (< 32 px on the longer side, pre-crop) until
+        # the cap engages.
+        from PIL import Image
+
+        from rgqa_tpu.data.images import _resize_keep_ratio
+
+        size = 384
+        longer_cap = int((1333 / 800) * size)
+
+        def reference_minmax(w, h):
+            scale = size / min(w, h)
+            neww, newh = (scale * w, size) if h < w else (size, scale * h)
+            if max(newh, neww) > longer_cap:
+                s2 = longer_cap / max(newh, neww)
+                newh, neww = newh * s2, neww * s2
+            neww, newh = int(neww + 0.5), int(newh + 0.5)
+            return neww // 32 * 32, newh // 32 * 32
+
+        for w, h in [(500, 375), (375, 500), (400, 400), (640, 480)]:
+            img = Image.new("RGB", (w, h))
+            ours = _resize_keep_ratio(img, size, by="shorter").size
+            ref = reference_minmax(w, h)
+            # shorter side: identical scale target
+            assert min(ours) == size and min(ref) in (size - 32 + 32, size)
+            # longer side: within one 32-px floor step while uncapped
+            if max(size / min(w, h) * max(w, h), size) <= longer_cap:
+                assert 0 <= max(ours) - max(ref) < 32, (w, h, ours, ref)
+        # exact agreement on the canonical 4:3 landscape
+        assert _resize_keep_ratio(Image.new("RGB", (500, 375)), size, by="shorter").size == reference_minmax(500, 375) == (512, 384)
+
     def test_randaug_changes_pixels(self, tmp_path):
         from PIL import Image
 
