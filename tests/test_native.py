@@ -85,21 +85,23 @@ class TestNativeDecoder:
         path = str(tmp_path / "big.tsv")
         _write_tsv(path, n_rows=80, feat_dim=512)
 
-        def best_of(fn, n=3):
-            times = []
-            for _ in range(n):
-                t0 = time.perf_counter()
-                fn()
-                times.append(time.perf_counter() - t0)
-            return min(times)
+        def timed(fn):
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0
 
-        # Warm both paths once (page cache, lazy imports), then best-of-3:
-        # single-run timings on this 1-core box are noisy enough to flip.
-        t_native = best_of(
-            lambda: native_lib.decode_obj_tsv_native(
-                path, num_boxes=36, feat_dim=512
-            )
+        native = lambda: native_lib.decode_obj_tsv_native(  # noqa: E731
+            path, num_boxes=36, feat_dim=512
         )
-        t_python = best_of(lambda: load_obj_tsv(path))
-        # The native pass should win comfortably; allow slack for CI noise.
+        python = lambda: load_obj_tsv(path)  # noqa: E731
+        # INTERLEAVED best-of-5: this 1-core box runs other processes
+        # (TPU benches), so a contention burst during one path's window
+        # can flip a back-to-back comparison; alternating samples exposes
+        # both paths to the same noise.  Warm both first (page cache,
+        # lazy imports).
+        native(), python()
+        pairs = [(timed(native), timed(python)) for _ in range(5)]
+        t_native = min(tn for tn, _ in pairs)
+        t_python = min(tp for _, tp in pairs)
+        # The native pass should win comfortably; allow slack for noise.
         assert t_native < t_python * 1.5, (t_native, t_python)
