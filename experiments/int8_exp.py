@@ -138,11 +138,6 @@ def run(S):
     print(f"        int8-dynamic rel err: mean {rel.mean():.4f} p99 {np.percentile(rel, 99):.4f}")
 
 
-if __name__ == "__main__":
-    for S in (20, 36):
-        run(S)
-
-
 def run_static(S):
     """Variant D: static per-tensor activation scales (offline-calibrated)
     — quant becomes a fused scale+round+clip+cast with no runtime
@@ -195,3 +190,9 @@ def run_static(S):
     print(
         f"S={S:3d} int8-static {t_static:7.3f} ms | rel err mean {rel.mean():.4f} p99 {np.percentile(rel, 99):.4f}"
     )
+
+
+if __name__ == "__main__":
+    for S in (20, 36):
+        run(S)
+        run_static(S)

@@ -159,7 +159,11 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
         # fwd block-32 kernel measured OK at 58 cells / OOM at 60
         # (17.36 MB), which cliff 17 halves to 16 — only the refuted
         # MC-dropout batch-fold ever reached such grids.
-        if b // bt >= (25 if bwd else 17):
+        # ceil: the caller pads b up to a multiple of bt, so the real
+        # grid has ceil(b/bt) cells — floor would under-count by one
+        # cell for batches just below a cliff (e.g. 390 rows at bwd
+        # block 16 -> 25 cells, exactly the bwd cliff).
+        if -(-b // bt) >= (25 if bwd else 17):
             io *= 2
         return io + scratch
 
@@ -668,7 +672,14 @@ def fused_attention_dropout(
     b, sq, e = q.shape
     skv = k.shape[1]
     bias_kv = bias_vector(bias, b, skv)
-    if _drop_sub_block(b, sq, skv, e, q.dtype.itemsize) == 0:
+    # Both kernels must be lowerable: sub (the backward's block / the
+    # seed-replay granularity) AND a forward block — the forward's
+    # deepening cliff (17) is shorter than the backward's (25), so at
+    # some shapes the backward fits while no forward block does.
+    if (
+        _drop_sub_block(b, sq, skv, e, q.dtype.itemsize) == 0
+        or _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize) == 0
+    ):
         return _attention_dropout_xla(
             q, k, v, bias_kv, num_heads, float(rate), rng
         )

@@ -117,7 +117,7 @@ class TestPixelbert:
             ours = _resize_keep_ratio(img, size, by="shorter").size
             ref = reference_minmax(w, h)
             # shorter side: identical scale target
-            assert min(ours) == size and min(ref) in (size - 32 + 32, size)
+            assert min(ours) == size and min(ref) in (size - 32, size)
             # longer side: within one 32-px floor step while uncapped
             if max(size / min(w, h) * max(w, h), size) <= longer_cap:
                 assert 0 <= max(ours) - max(ref) < 32, (w, h, ours, ref)
