@@ -129,6 +129,12 @@ class TrainConfig:
     save_all: bool = False
     # Mixed precision: bf16 compute with f32 params/optimizer state.
     use_bf16: bool = True
+    # Eval batches per device dispatch (data/batching.py::chunked_map).
+    # >1 runs one jitted lax.scan over each group of K batches — K-fold
+    # fewer dispatches where each dispatch pays a synchronous round trip
+    # (remote/tunneled chips; measured 3.4x on the scoring loop,
+    # docs/kernels.md).  1 = per-batch dispatch (host-attached default).
+    eval_chunk: int = 1
 
 
 @dataclass(frozen=True)
@@ -244,6 +250,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numWorkers", dest="num_workers", type=int, default=0)
     # Training
     p.add_argument("--batchSize", dest="batch_size", type=int, default=32)
+    p.add_argument(
+        "--eval_chunk", type=int, default=1,
+        help="eval batches per device dispatch (chunked_map); >1 for "
+        "remote/tunneled chips where each dispatch is a round trip",
+    )
     p.add_argument("--optim", default="bert")
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--epochs", type=int, default=4)
@@ -387,6 +398,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             chart=ns.chart,
             save_all=ns.save_all,
             use_bf16=not ns.fp32,
+            eval_chunk=ns.eval_chunk,
         ),
         ood=OODConfig(
             scorer=ns.scorer,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import collections
 import threading
 import queue as _queue
+import weakref
 from typing import Any, Callable, Iterator, Optional
 
 import numpy as np
@@ -21,6 +22,7 @@ from rgqa_tpu.parallel import pad_batch_to, shard_batch
 __all__ = [
     "batch_indices",
     "batch_iterator",
+    "chunked_map",
     "device_prefetch",
     "pipelined_map",
 ]
@@ -76,6 +78,11 @@ def batch_iterator(
 # as bf16 anyway): RoI features are 295 KB/question f32 — the dominant
 # host->device bytes by ~50x (docs/kernels.md, production-loop physics).
 _BF16_FEED_KEYS = ("feats", "pixels")
+
+# One jitted scan wrapper per step_fn object (chunked_map): jax.jit's
+# own executable cache then handles distinct (chunk, batch) shapes.
+# Weak keys: a dropped step_fn releases its wrapper + executables.
+_CHUNK_RUN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def device_prefetch(
@@ -172,3 +179,98 @@ def pipelined_map(
     while pending:
         qids0, out0, real0 = pending.popleft()
         yield qids0, fetch(out0), real0
+
+
+def chunked_map(
+    step_fn: Callable[..., Any],
+    batches: Iterator[tuple[list[str], Any, int]],
+    *,
+    chunk: int = 1,
+    lag: int = 1,
+    captures: Any = None,
+) -> Iterator[tuple[list[str], Any, int]]:
+    """:func:`pipelined_map` with ``chunk`` batches per device dispatch.
+
+    Each group of ``chunk`` device batches is stacked on device and run
+    through ONE jitted ``lax.scan`` — ``chunk``-fold fewer dispatches.
+    This matters where a dispatch costs a synchronous round trip
+    (remote/tunneled chips): measured on the tunneled v5e at batch 384,
+    the per-batch loop over device-resident inputs runs at ~2.5k q/s at
+    ANY output-fetch lag (each ``jit`` call blocks on the wire), while
+    chunked dispatch reaches 8.6-8.7k — within ~20% of the chained-scan
+    bound (`experiments/dispatch_exp.py`, docs/kernels.md).  On a
+    host-attached chip dispatch is a local enqueue and ``chunk=1``
+    (plain :func:`pipelined_map`) already overlaps fully.
+
+    ``step_fn`` must be jax-traceable (every eval step here is a jitted
+    scorer call).  Large arrays the step needs — model params, scorer
+    estimators — MUST be passed via ``captures`` (the step is then
+    called as ``step_fn(captures, batch)``), not closed over: values a
+    jit traces over become embedded constants, and a 400 MB param
+    pytree inside the compile payload overflows remote-compile request
+    limits (HTTP 413 on the axon tunnel).  The scan wrapper is cached
+    per ``step_fn`` object, so repeated ``chunked_map`` calls with the
+    same step compile once per process — the same warmup the scorer's
+    own jit already pays.  A final partial group is padded by repeating
+    its last batch; padding members are dropped from the yielded stream.
+
+    Yields ``(question_ids, host_outputs, real_count)`` in input order,
+    exactly like :func:`pipelined_map`.
+    """
+    if chunk <= 1:
+        fn = step_fn if captures is None else (
+            lambda b: step_fn(captures, b)
+        )
+        yield from pipelined_map(fn, batches)
+        return
+    import jax
+    import jax.numpy as jnp
+
+    run = _CHUNK_RUN_CACHE.get(step_fn)
+    if run is None:
+        if captures is None:
+            def run(captures_, stacked, step_fn=step_fn):
+                del captures_
+                return jax.lax.scan(
+                    lambda c, b: (c, step_fn(b)), None, stacked
+                )[1]
+        else:
+            def run(captures_, stacked, step_fn=step_fn):
+                return jax.lax.scan(
+                    lambda c, b: (c, step_fn(captures_, b)), None, stacked
+                )[1]
+        run = jax.jit(run)
+        _CHUNK_RUN_CACHE[step_fn] = run
+
+    def groups():
+        buf: list = []
+        for item in batches:
+            buf.append(item)
+            if len(buf) == chunk:
+                yield buf
+                buf = []
+        if buf:
+            last = buf[-1]
+            while len(buf) < chunk:
+                buf.append((last[0], last[1], -1))  # -1 marks padding
+            yield buf
+
+    def emit(group, out):
+        host = jax.tree_util.tree_map(np.asarray, out)
+        for i, (qids, _, real) in enumerate(group):
+            if real < 0:
+                continue
+            yield qids, jax.tree_util.tree_map(lambda a: a[i], host), real
+
+    pending: collections.deque = collections.deque()
+    for g in groups():
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[b for _, b, _ in g]
+        )
+        pending.append((g, run(captures, stacked)))
+        if len(pending) > lag:
+            g0, out0 = pending.popleft()
+            yield from emit(g0, out0)
+    while pending:
+        g0, out0 = pending.popleft()
+        yield from emit(g0, out0)

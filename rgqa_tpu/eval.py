@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rgqa_tpu.data import EncodedGQA, batch_iterator, device_prefetch
-from rgqa_tpu.data.batching import pipelined_map
+from rgqa_tpu.data.batching import chunked_map
 from rgqa_tpu.metrics import ClosedSetEvaluator, RGQAEvaluator, dump_predictions
 from rgqa_tpu.scorers import calibrate_tau, fit_estimator, make_scorer
 
@@ -62,21 +62,33 @@ class ScoringMixin:
         *,
         select: Optional[tuple] = None,
         with_target: bool = False,
+        params=None,
     ):
-        """Run ``step_fn(batch)`` over a split, pipelined both ways:
-        inputs prefetched ahead of the dispatch front (`device_prefetch`),
-        outputs fetched ``lag`` dispatches behind it (`pipelined_map`) so
-        the tunnel RTT of each host transfer overlaps device compute.
-        Yields ``(qids, numpy outputs, real)``."""
+        """Run ``step_fn(params, batch)`` over a split, pipelined both
+        ways: inputs prefetched ahead of the dispatch front
+        (`device_prefetch`), outputs fetched ``lag`` dispatches behind it
+        so host transfers overlap device compute; ``--eval_chunk K`` > 1
+        additionally groups K batches per device dispatch (`chunked_map`)
+        for remote/tunneled chips where each dispatch is a round trip.
 
-        def fn(batch):
-            out = step_fn(batch)
+        ``params`` defaults to ``self.params`` and is threaded through as
+        an explicit argument (NOT a closure) so the chunked dispatch can
+        jit over it — a closed-over param pytree would be embedded in the
+        compile payload as constants.  Yields ``(qids, numpy outputs,
+        real)``."""
+        params = self.params if params is None else params
+
+        def fn(p, batch):
+            out = step_fn(p, batch)
             if select is not None:
                 out = {k: out[k] for k in select if k in out}
             return out
 
-        return pipelined_map(
-            fn, self._iter_eval(encoded, with_target=with_target)
+        return chunked_map(
+            fn,
+            self._iter_eval(encoded, with_target=with_target),
+            chunk=getattr(self.cfg.train, "eval_chunk", 1),
+            captures=params,
         )
 
     # ------------------------------------------------------------------
@@ -87,7 +99,7 @@ class ScoringMixin:
         """Closed-set predictions {qid: answer} (``gqa_conf.py:245-260``)."""
         quesid2ans = {}
         for qids, out, real in self._map_eval(
-            encoded, lambda b: self.eval_step(self.params, b),
+            encoded, lambda p, b: self.eval_step(p, b),
             select=("label",),
         ):
             for qid, l in zip(qids, out["label"][:real]):
@@ -117,7 +129,7 @@ class ScoringMixin:
 
         quesid2ans = {}
         for qids, idx, real in self._map_eval(
-            encoded, lambda b: topk_step(self.params, b, k)
+            encoded, lambda p, b: topk_step(p, b, k)
         ):
             for qid, proposals in zip(qids, idx[:real]):
                 label = encoded.dataset.id2datum[qid].get("label") or {}
@@ -161,7 +173,7 @@ class ScoringMixin:
 
         written = 0
         for qids, probs, real in self._map_eval(
-            encoded, lambda b: viz_step(self.params, b)
+            encoded, lambda p, b: viz_step(p, b)
         ):
             for row, qid in enumerate(qids[:real]):
                 arrays = {}
@@ -202,7 +214,7 @@ class ScoringMixin:
         params = params if params is not None else self.params
         quesid2ans = {}
         for qids, out, real in self._map_eval(
-            encoded, lambda b: scorer(params, b), select=("label", "score")
+            encoded, scorer, select=("label", "score"), params=params
         ):
             labels = out["label"][:real]
             scores = out["score"][:real]
@@ -237,7 +249,7 @@ class ScoringMixin:
         ans_encoded = answerer._encode(encoded.dataset)
         answers = answerer.predict(ans_encoded)
         for qids, out, real in self._map_eval(
-            encoded, lambda b: det(self.params, b), select=("score",)
+            encoded, det, select=("score",)
         ):
             for qid, s in zip(qids, out["score"][:real]):
                 quesid2ans[qid] = (answers[qid], float(s))
@@ -262,7 +274,7 @@ class ScoringMixin:
             probs_per_batch = []
             qids_seen = []
             for qids, out, real in self._map_eval(
-                encoded, lambda b: msp(self.params, b), select=("probs",)
+                encoded, msp, select=("probs",)
             ):
                 probs_per_batch.append(out["probs"][:real])
                 qids_seen.extend(qids[:real])
@@ -374,7 +386,7 @@ class ScoringMixin:
         answers = self.predict(encoded)
         quesid2ans = {}
         for qids, scores, real in self._map_eval(
-            encoded, lambda b: match_step(pretrain_params, b)
+            encoded, match_step, params=pretrain_params
         ):
             for qid, s in zip(qids, scores[:real]):
                 quesid2ans[qid] = (answers[qid], float(s))
@@ -398,8 +410,8 @@ class ScoringMixin:
             )
         assert self.train_set is not None, "maha needs the train split"
 
-        def pooled_step(batch):
-            out = self.eval_step(self.params, batch)
+        def pooled_step(p, batch):
+            out = self.eval_step(p, batch)
             return {"pooled": out["pooled"], "target": batch["target"]}
 
         def batches():

@@ -37,7 +37,7 @@ import numpy as np
 from rgqa_tpu.checkpoint import load_checkpoint, save_checkpoint, wait_for_saves
 from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import PackedFeatures, WordPieceTokenizer
-from rgqa_tpu.data.batching import batch_iterator, device_prefetch, pipelined_map
+from rgqa_tpu.data.batching import batch_iterator, chunked_map, device_prefetch
 from rgqa_tpu.data.dataset import EncodedGQA, GQADataset, build_targets
 from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.models.zoo import build_model, example_batch
@@ -317,12 +317,16 @@ class VQARunner:
 
         quesid2ans: dict = {}
         bs = min(len(encoded), self.cfg.train.batch_size)
-        for qids, labels, real in pipelined_map(
-            lambda b: infer(self.params, b),
+        # params as explicit captures (not a closure) so --eval_chunk's
+        # grouped dispatch can jit over them; see eval.ScoringMixin.
+        for qids, labels, real in chunked_map(
+            infer,
             self._batches(
                 encoded, bs, with_target=False,
                 feed_bf16=self.cfg.train.use_bf16,
             ),
+            chunk=getattr(self.cfg.train, "eval_chunk", 1),
+            captures=self.params,
         ):
             for qid, l in zip(qids, labels[:real]):
                 quesid2ans[qid] = self.label2ans[int(l)]

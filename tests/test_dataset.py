@@ -206,3 +206,48 @@ class TestPipelinedMap:
         out = list(pipelined_map(lambda b: b + 1, batches(), lag=8))
         assert len(out) == 1
         assert out[0][1].tolist() == [2.0, 2.0]
+
+
+class TestChunkedMap:
+    """chunked_map must be stream-equivalent to pipelined_map at every
+    (chunk, n_batches) combination, including the padded partial group."""
+
+    @staticmethod
+    def _batches(n):
+        import jax.numpy as jnp
+
+        for i in range(n):
+            yield [f"q{i}"], {"x": jnp.full((3,), i, jnp.float32)}, 3 - (i % 2)
+
+    def test_matches_pipelined(self):
+        from rgqa_tpu.data.batching import chunked_map, pipelined_map
+
+        fn = lambda b: {"y": b["x"] * 2 + 1}  # noqa: E731
+        for n in (1, 2, 5, 7, 8):
+            ref = list(pipelined_map(fn, self._batches(n)))
+            for chunk in (1, 2, 3, 4):
+                got = list(chunked_map(fn, self._batches(n), chunk=chunk))
+                assert [q for q, _, _ in got] == [q for q, _, _ in ref], (n, chunk)
+                assert [r for _, _, r in got] == [r for _, _, r in ref], (n, chunk)
+                for (_, a, _), (_, b, _) in zip(got, ref):
+                    assert isinstance(a["y"], np.ndarray)
+                    np.testing.assert_array_equal(a["y"], b["y"])
+
+    def test_grad_scorer_traceable(self):
+        # The grad-at-eval scorers (ODIN/Maha) run jax.grad inside the
+        # step fn; it must trace through the chunked scan.
+        import jax
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.batching import chunked_map
+
+        def fn(b):
+            g = jax.grad(lambda x: jnp.sum(x**2))(b["x"])
+            return {"g": g}
+
+        got = list(chunked_map(fn, self._batches(5), chunk=2))
+        assert len(got) == 5
+        for i, (_, out, _) in enumerate(got):
+            np.testing.assert_allclose(out["g"], np.full((3,), 2.0 * i))
+
+

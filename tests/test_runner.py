@@ -84,6 +84,32 @@ class TestTrainLoop:
         # 38 answers; the synthetic signal should lift it well above 1/38.
         assert history["valid"][-1] > 0.10
 
+    def test_predict_invariant_to_eval_chunk(self, trained, synth_root):
+        # --eval_chunk (batches per device dispatch, chunked_map) is a
+        # serving-dispatch knob; it must not change any prediction.
+        import dataclasses
+
+        runner, _, _ = trained
+        ds = GQADataset(synth_root, "testdev", add_uq=True)
+        encoded = runner._encode(ds)
+        base = runner.predict(encoded)
+        base_scores = runner.score_split(encoded)
+        old_cfg = runner.cfg
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                train=dataclasses.replace(old_cfg.train, eval_chunk=3),
+            )
+            assert runner.predict(encoded) == base
+            chunked_scores = runner.score_split(encoded)
+        finally:
+            runner.cfg = old_cfg
+        assert chunked_scores.keys() == base_scores.keys()
+        for qid, (ans, s) in base_scores.items():
+            ans2, s2 = chunked_scores[qid]
+            assert ans2 == ans
+            np.testing.assert_allclose(s2, s, rtol=1e-5)
+
     def test_ood_evaluate_and_dump_roundtrip(self, trained, synth_root):
         runner, _, out = trained
         ds = GQADataset(synth_root, "testdev", add_uq=True)
