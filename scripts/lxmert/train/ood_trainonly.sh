@@ -1,0 +1,8 @@
+# Vanilla UQ-as-class finetune on train-split pseudo-UQ only
+# (reference run/gqa_ood_trainOnly_finetune.sh: GQAUQ train_unsup + valid)
+DATA_ROOT=${DATA_ROOT:-data/gqa}
+OUTPUT=${OUTPUT:-snap/gqa}
+python -m rgqa_tpu.cli.train --backbone lxmert --data_root $DATA_ROOT \
+  --train GQAUQ_train_questions_unsup,valid \
+  --uq_as_class --batchSize 32 --epochs 4 --lr 1e-5 \
+  --output $OUTPUT/lxmert/ood_trainonly "$@"

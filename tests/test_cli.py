@@ -62,6 +62,64 @@ class TestCliPipeline:
 
         assert count_params("caps") > 1e6
 
+    def test_serve_cli_jsonl_stream(self, roots):
+        """Serving CLI: JSONL stream in -> scored JSONL out, consistent
+        with the batch evaluate path over the same questions."""
+        import io
+
+        data, snap = roots
+        from rgqa_tpu.cli import serve
+
+        with open(os.path.join(data, "testdev.json")) as f:
+            questions = json.load(f)[:10]
+        lines = [
+            json.dumps(
+                {"question_id": q["question_id"], "sent": q["sent"],
+                 "img_id": q["img_id"]}
+            )
+            for q in questions
+        ]
+        # One malformed + one unknown-image record: reported, not fatal.
+        lines.insert(3, json.dumps({"sent": "no id"}))
+        lines.insert(5, json.dumps(
+            {"question_id": "qx", "sent": "?", "img_id": "missing_img"}
+        ))
+        out = io.StringIO()
+        served = serve.main(
+            FLAGS + ["--data_root", data, "--test", "testdev",
+                     "--load", os.path.join(snap, "LAST"),
+                     "--scorer", "msp", "--output", snap,
+                     "--eval_chunk", "2"],
+            stdin=io.StringIO("\n".join(lines) + "\n"),
+            stdout=out,
+        )
+        assert served == len(questions)
+        records = [json.loads(l) for l in out.getvalue().splitlines()]
+        errors = [r for r in records if "error" in r]
+        scored = [r for r in records if "questionId" in r and "error" not in r]
+        assert len(errors) == 2
+        assert len(scored) == len(questions)
+        assert {r["questionId"] for r in scored} == {
+            q["question_id"] for q in questions
+        }
+        for r in scored:
+            assert isinstance(r["prediction"], str)
+            assert 0.0 <= r["confidence"] <= 1.0
+
+        # Consistency with the batch evaluate path: same answers.
+        from rgqa_tpu.cli import evaluate
+
+        evaluate.main(
+            FLAGS + ["--data_root", data, "--test", "testdev",
+                     "--load", os.path.join(snap, "LAST"),
+                     "--scorer", "msp", "--output", snap]
+        )
+        with open(os.path.join(snap, "testdev_predict.json")) as f:
+            batch_preds = {r["questionId"]: r["prediction"]
+                           for r in json.load(f)}
+        for r in scored:
+            assert batch_preds[r["questionId"]] == r["prediction"]
+
     def test_clip_scorer_cli_with_stub(self, roots, monkeypatch):
         """--scorer clip end-to-end with an injected similarity stub
         (zero-egress: no CLIP weights; reference gqa_clip.py:76-110)."""
