@@ -56,12 +56,14 @@ def _normalize(rec: dict) -> dict:
 
 
 def _waves(lines, wave_size):
+    """Group raw input lines into waves; parsing happens per record in
+    the serving loop so one bad line cannot kill the stream."""
     wave = []
     for line in lines:
         line = line.strip()
         if not line:
             continue
-        wave.append(json.loads(line))
+        wave.append(line)
         if len(wave) >= wave_size:
             yield wave
             wave = []
@@ -73,7 +75,9 @@ def main(argv=None, stdin=None, stdout=None):
     cfg, ns = parse_cli(argv)
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
-    if not (cfg.data.test_splits or cfg.data.valid_splits):
+    # --valid defaults to "valid", so check --test explicitly: the
+    # vocabulary split must be a deliberate choice in a deployment.
+    if not cfg.data.test_splits:
         raise SystemExit(
             "--test <split> is required (answer-vocabulary source)"
         )
@@ -86,14 +90,17 @@ def main(argv=None, stdin=None, stdout=None):
     served = 0
     for wave in _waves(stdin, wave_size):
         rows, errors = [], []
-        for rec in wave:
+        for line in wave:
             try:
+                rec = json.loads(line)
+                if not isinstance(rec, dict):
+                    raise ValueError("record must be a JSON object")
                 row = _normalize(rec)
                 if row["img_id"] not in runner.features:
                     raise KeyError(f"unknown img_id {row['img_id']!r}")
                 rows.append(row)
-            except (ValueError, KeyError) as e:
-                errors.append({"record": rec, "error": str(e)})
+            except Exception as e:  # report, never stop the stream
+                errors.append({"record": line, "error": str(e)})
         for err in errors:
             print(json.dumps(err), file=stdout)
         if not rows:

@@ -79,10 +79,55 @@ def batch_iterator(
 # host->device bytes by ~50x (docs/kernels.md, production-loop physics).
 _BF16_FEED_KEYS = ("feats", "pixels")
 
-# One jitted scan wrapper per step_fn object (chunked_map): jax.jit's
-# own executable cache then handles distinct (chunk, batch) shapes.
-# Weak keys: a dropped step_fn releases its wrapper + executables.
+# Jitted scan wrappers for chunked_map, keyed (weakly) by step_fn and
+# then by (select, captures-mode); jax.jit's own executable cache
+# handles distinct (chunk, batch) shapes.  The wrapper closes over a
+# weakref.ref of its key — NOT the step_fn itself — so entries stay
+# collectable (a value that strongly references its WeakKeyDictionary
+# key would be immortal).
 _CHUNK_RUN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _chunk_runner(step_fn, select, has_captures):
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        per_fn = _CHUNK_RUN_CACHE.get(step_fn)
+        if per_fn is None:
+            per_fn = {}
+            _CHUNK_RUN_CACHE[step_fn] = per_fn
+    except TypeError:  # non-weakref-able step_fn: build uncached
+        per_fn = {}
+    key = (select, has_captures)
+    run = per_fn.get(key)
+    if run is None:
+        try:
+            fn_ref = weakref.ref(step_fn)
+        except TypeError:
+            fn_ref = lambda step_fn=step_fn: step_fn  # noqa: E731
+
+        def run_impl(captures_, group):
+            fn = fn_ref()
+            assert fn is not None, "step_fn collected while in use"
+            # Stack INSIDE the jit: an eager per-leaf jnp.stack would
+            # cost extra synchronous dispatches per group on remote
+            # chips — the exact overhead chunking exists to remove.
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *group
+            )
+
+            def body(c, b):
+                out = fn(captures_, b) if has_captures else fn(b)
+                if select is not None:
+                    out = {k: out[k] for k in select if k in out}
+                return c, out
+
+            return jax.lax.scan(body, None, stacked)[1]
+
+        run = jax.jit(run_impl)
+        per_fn[key] = run
+    return run
 
 
 def device_prefetch(
@@ -188,6 +233,7 @@ def chunked_map(
     chunk: int = 1,
     lag: int = 1,
     captures: Any = None,
+    select: Optional[tuple] = None,
 ) -> Iterator[tuple[list[str], Any, int]]:
     """:func:`pipelined_map` with ``chunk`` batches per device dispatch.
 
@@ -203,44 +249,38 @@ def chunked_map(
     (plain :func:`pipelined_map`) already overlaps fully.
 
     ``step_fn`` must be jax-traceable (every eval step here is a jitted
-    scorer call).  Large arrays the step needs — model params, scorer
-    estimators — MUST be passed via ``captures`` (the step is then
-    called as ``step_fn(captures, batch)``), not closed over: values a
-    jit traces over become embedded constants, and a 400 MB param
-    pytree inside the compile payload overflows remote-compile request
-    limits (HTTP 413 on the axon tunnel).  The scan wrapper is cached
-    per ``step_fn`` object, so repeated ``chunked_map`` calls with the
-    same step compile once per process — the same warmup the scorer's
-    own jit already pays.  A final partial group is padded by repeating
-    its last batch; padding members are dropped from the yielded stream.
+    scorer call).  Large arrays the step needs — model params above all
+    — MUST be passed via ``captures`` (the step is then called as
+    ``step_fn(captures, batch)``), not closed over: values a jit traces
+    over become embedded constants, and a 400 MB param pytree inside
+    the compile payload overflows remote-compile request limits
+    (HTTP 413 on the axon tunnel; closures of a few MB, e.g. a
+    Mahalanobis estimator, are fine).  ``select`` filters the step's
+    dict output to those keys inside the compiled program.
+
+    The scan wrapper is cached per (``step_fn`` object, select,
+    captures-mode), so repeated calls with the SAME step-fn object —
+    e.g. one scorer across serving waves — compile once per process.
+    Callers that rebuild their step fn per call recompile per call;
+    keep one step-fn object alive where that matters.  A final partial
+    group is padded by repeating its last batch; padding members are
+    dropped from the yielded stream.
 
     Yields ``(question_ids, host_outputs, real_count)`` in input order,
     exactly like :func:`pipelined_map`.
     """
     if chunk <= 1:
-        fn = step_fn if captures is None else (
-            lambda b: step_fn(captures, b)
-        )
+        def fn(b):
+            out = step_fn(captures, b) if captures is not None else step_fn(b)
+            if select is not None:
+                out = {k: out[k] for k in select if k in out}
+            return out
+
         yield from pipelined_map(fn, batches)
         return
     import jax
-    import jax.numpy as jnp
 
-    run = _CHUNK_RUN_CACHE.get(step_fn)
-    if run is None:
-        if captures is None:
-            def run(captures_, stacked, step_fn=step_fn):
-                del captures_
-                return jax.lax.scan(
-                    lambda c, b: (c, step_fn(b)), None, stacked
-                )[1]
-        else:
-            def run(captures_, stacked, step_fn=step_fn):
-                return jax.lax.scan(
-                    lambda c, b: (c, step_fn(captures_, b)), None, stacked
-                )[1]
-        run = jax.jit(run)
-        _CHUNK_RUN_CACHE[step_fn] = run
+    run = _chunk_runner(step_fn, select, captures is not None)
 
     def groups():
         buf: list = []
@@ -264,10 +304,7 @@ def chunked_map(
 
     pending: collections.deque = collections.deque()
     for g in groups():
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[b for _, b, _ in g]
-        )
-        pending.append((g, run(captures, stacked)))
+        pending.append((g, run(captures, tuple(b for _, b, _ in g))))
         if len(pending) > lag:
             g0, out0 = pending.popleft()
             yield from emit(g0, out0)

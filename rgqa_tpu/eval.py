@@ -74,21 +74,18 @@ class ScoringMixin:
         ``params`` defaults to ``self.params`` and is threaded through as
         an explicit argument (NOT a closure) so the chunked dispatch can
         jit over it — a closed-over param pytree would be embedded in the
-        compile payload as constants.  Yields ``(qids, numpy outputs,
-        real)``."""
+        compile payload as constants.  ``step_fn`` passes through to
+        ``chunked_map`` UNWRAPPED: its object identity is the compile
+        cache key, so a stable step fn (e.g. one scorer reused across
+        serving waves) compiles once per process.  Yields ``(qids,
+        numpy outputs, real)``."""
         params = self.params if params is None else params
-
-        def fn(p, batch):
-            out = step_fn(p, batch)
-            if select is not None:
-                out = {k: out[k] for k in select if k in out}
-            return out
-
         return chunked_map(
-            fn,
+            step_fn,
             self._iter_eval(encoded, with_target=with_target),
             chunk=getattr(self.cfg.train, "eval_chunk", 1),
             captures=params,
+            select=select,
         )
 
     # ------------------------------------------------------------------
@@ -209,7 +206,13 @@ class ScoringMixin:
     def score_split(
         self, encoded: EncodedGQA, scorer=None, params=None
     ) -> dict[str, tuple[str, float]]:
-        """{qid: (answer, confidence)} over a split with any scorer."""
+        """{qid: (answer, confidence)} over a split with any scorer.
+
+        Model params thread through as chunked_map ``captures``; scorer
+        closures (the Mahalanobis estimator's ~8 MB at 1842 answers is
+        the largest) ride along as compile-payload constants — fine at
+        this scale, but a future scorer closing over tens of MB should
+        grow an explicit captures slot (see ``chunked_map``)."""
         scorer = scorer or self.make_scorer()
         params = params if params is not None else self.params
         quesid2ans = {}

@@ -79,9 +79,12 @@ class TestCliPipeline:
             )
             for q in questions
         ]
-        # One malformed + one unknown-image record: reported, not fatal.
-        lines.insert(3, json.dumps({"sent": "no id"}))
-        lines.insert(5, json.dumps(
+        # Malformed JSON, a non-object line, a field-less record, and an
+        # unknown-image record: all reported inline, none fatal.
+        lines.insert(2, "this is not json")
+        lines.insert(3, "42")
+        lines.insert(5, json.dumps({"sent": "no id"}))
+        lines.insert(7, json.dumps(
             {"question_id": "qx", "sent": "?", "img_id": "missing_img"}
         ))
         out = io.StringIO()
@@ -97,7 +100,7 @@ class TestCliPipeline:
         records = [json.loads(l) for l in out.getvalue().splitlines()]
         errors = [r for r in records if "error" in r]
         scored = [r for r in records if "questionId" in r and "error" not in r]
-        assert len(errors) == 2
+        assert len(errors) == 4
         assert len(scored) == len(questions)
         assert {r["questionId"] for r in scored} == {
             q["question_id"] for q in questions

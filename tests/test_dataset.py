@@ -233,6 +233,42 @@ class TestChunkedMap:
                     assert isinstance(a["y"], np.ndarray)
                     np.testing.assert_array_equal(a["y"], b["y"])
 
+    def test_runner_cache_reuse_and_collectable(self):
+        # The scan wrapper is the per-process compile unit: the same
+        # step_fn object must get the same wrapper (serving waves reuse
+        # one scorer), distinct (select, captures-mode) must not collide,
+        # and dropping the step_fn must release the cache entry (the
+        # wrapper holds only a weakref to its key).
+        import gc
+        import weakref
+
+        from rgqa_tpu.data.batching import _chunk_runner
+
+        fn = lambda c, b: {"y": b["x"], "z": b["x"]}  # noqa: E731
+        r1 = _chunk_runner(fn, ("y",), True)
+        assert _chunk_runner(fn, ("y",), True) is r1
+        assert _chunk_runner(fn, ("z",), True) is not r1
+        assert _chunk_runner(fn, ("y",), False) is not r1
+        ref = weakref.ref(fn)
+        del fn, r1
+        gc.collect()
+        assert ref() is None
+
+    def test_captures_not_closed_over(self):
+        # captures flow through as jit arguments: the same step_fn with
+        # different captures must produce different results without
+        # retracing issues.
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.batching import chunked_map
+
+        step = lambda c, b: {"y": b["x"] + c}  # noqa: E731
+        for cap, expect0 in ((jnp.float32(10.0), 10.0), (jnp.float32(20.0), 20.0)):
+            out = list(
+                chunked_map(step, self._batches(4), chunk=2, captures=cap)
+            )
+            assert out[0][1]["y"].tolist() == [expect0] * 3
+
     def test_grad_scorer_traceable(self):
         # The grad-at-eval scorers (ODIN/Maha) run jax.grad inside the
         # step fn; it must trace through the chunked scan.
