@@ -135,6 +135,10 @@ class TrainConfig:
     # (remote/tunneled chips; measured 3.4x on the scoring loop,
     # docs/kernels.md).  1 = per-batch dispatch (host-attached default).
     eval_chunk: int = 1
+    # Optimizer steps per device dispatch (train/step.py::
+    # make_chunked_train_step) — the training analogue of eval_chunk.
+    # Trajectory-identical to the per-step loop (same key sequence).
+    train_chunk: int = 1
 
 
 @dataclass(frozen=True)
@@ -254,6 +258,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--eval_chunk", type=int, default=1,
         help="eval batches per device dispatch (chunked_map); >1 for "
         "remote/tunneled chips where each dispatch is a round trip",
+    )
+    p.add_argument(
+        "--train_chunk", type=int, default=1,
+        help="optimizer steps per device dispatch (trajectory-identical "
+        "to the per-step loop); >1 for remote/tunneled chips",
     )
     p.add_argument("--optim", default="bert")
     p.add_argument("--lr", type=float, default=1e-5)
@@ -399,6 +408,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             save_all=ns.save_all,
             use_bf16=not ns.fp32,
             eval_chunk=ns.eval_chunk,
+            train_chunk=ns.train_chunk,
         ),
         ood=OODConfig(
             scorer=ns.scorer,

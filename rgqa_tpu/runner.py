@@ -51,7 +51,13 @@ from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.eval import ScoringMixin
 from rgqa_tpu.models.zoo import build_model, example_batch
 from rgqa_tpu.parallel import make_mesh, shard_params
-from rgqa_tpu.train import create_train_state, make_eval_step, make_train_step, make_optimizer
+from rgqa_tpu.train import (
+    create_train_state,
+    make_chunked_train_step,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
 
 __all__ = ["GQARunner"]
 
@@ -316,6 +322,17 @@ class GQARunner(ScoringMixin):
         profile_dir = os.environ.get("RGQA_PROFILE_DIR")
         profiled = False
 
+        # --train_chunk K: scan K optimizer steps per device dispatch
+        # (remote/tunneled chips pay a synchronous round trip per
+        # dispatch — docs/kernels.md "Dispatch anatomy").  The step is
+        # then built donate=False (the scan carry owns the buffers; the
+        # chunk runner donates the outer state instead).  distill_online
+        # is excluded: its step closes over the teacher params, which
+        # would embed as compile-payload constants inside the chunk jit.
+        chunk = max(1, int(getattr(tcfg, "train_chunk", 1)))
+        if tcfg.strategy == "distill_online":
+            chunk = 1
+
         teacher_params = None
         if tcfg.strategy == "distill_online":
             from rgqa_tpu.train.online_distill import make_online_distill_step
@@ -358,6 +375,7 @@ class GQARunner(ScoringMixin):
                     norm_type=tcfg.adv_norm_type,
                 ),
                 grad_clip=tcfg.optim.grad_clip,
+                donate=chunk == 1,
             )
         else:
             step = make_train_step(
@@ -377,7 +395,9 @@ class GQARunner(ScoringMixin):
                 binary=tcfg.strategy in ("separate", "caption"),
                 uq_as_class=cfg.model.uq_as_class,
                 grad_clip=tcfg.optim.grad_clip,
+                donate=chunk == 1,
             )
+        chunk_run = make_chunked_train_step(step) if chunk > 1 else None
 
         if tcfg.chart:
             os.makedirs(os.path.join(self.output, "chart"), exist_ok=True)
@@ -387,6 +407,13 @@ class GQARunner(ScoringMixin):
         key = jax.random.PRNGKey(tcfg.seed)
         best_valid = 0.0
         history = {"loss": [], "valid": []}
+        def record_chart(quesid2score, qids, scores, labels):
+            for qid, s, l in zip(qids, scores, labels):
+                datum = self.dataset.id2datum[qid]
+                quesid2score[qid] = (
+                    float(s), datum.get("label"), self.label2ans[int(l)]
+                )
+
         for epoch in range(tcfg.epochs):
             quesid2score = {}
             last_loss = float("nan")
@@ -398,6 +425,13 @@ class GQARunner(ScoringMixin):
                 ),
                 self.mesh,
             )
+            pend: list = []  # (qids, batch, key) awaiting a chunked dispatch
+
+            def run_pending(state):
+                batches = tuple(b for _, b, _ in pend)
+                keys = jnp.stack([s for _, _, s in pend])
+                return chunk_run(state, batches, keys)
+
             for qids, batch, _ in it:
                 if similarity is not None:
                     shift = int(rng.integers(1, len(qids)))
@@ -412,6 +446,30 @@ class GQARunner(ScoringMixin):
                         w / w.sum(), jnp.float32
                     )
                 key, sub = jax.random.split(key)
+                if chunk > 1:
+                    # K steps per dispatch; the key sequence is exactly
+                    # the per-step loop's, so trajectories are identical
+                    # (pinned in tests/test_runner.py).
+                    pend.append((qids, batch, sub))
+                    if len(pend) < chunk:
+                        continue
+                    if profile_dir and not profiled and epoch == 0:
+                        with jax.profiler.trace(profile_dir):
+                            state, auxs = run_pending(state)
+                            jax.block_until_ready(auxs["loss"])
+                        profiled = True
+                    else:
+                        state, auxs = run_pending(state)
+                    if tcfg.chart:
+                        scores = np.asarray(auxs["score"])
+                        labels = np.asarray(auxs["label"])
+                        for gi, (gqids, _, _) in enumerate(pend):
+                            record_chart(
+                                quesid2score, gqids, scores[gi], labels[gi]
+                            )
+                    last_loss = auxs["loss"][-1]
+                    pend = []
+                    continue
                 if profile_dir and not profiled and epoch == 0:
                     with jax.profiler.trace(profile_dir):
                         state, aux = step(state, batch, sub)
@@ -420,13 +478,20 @@ class GQARunner(ScoringMixin):
                 else:
                     state, aux = step(state, batch, sub)
                 if tcfg.chart:
-                    scores = np.asarray(aux["score"])
-                    labels = np.asarray(aux["label"])
-                    for qid, s, l in zip(qids, scores, labels):
-                        datum = self.dataset.id2datum[qid]
-                        quesid2score[qid] = (
-                            float(s), datum.get("label"), self.label2ans[int(l)]
-                        )
+                    record_chart(
+                        quesid2score, qids,
+                        np.asarray(aux["score"]), np.asarray(aux["label"]),
+                    )
+                last_loss = aux["loss"]
+            # Partial final group: run the remaining steps per-dispatch
+            # (padding a TRAIN group would apply spurious updates).
+            for gqids, batch, sub in pend:
+                state, aux = step(state, batch, sub)
+                if tcfg.chart:
+                    record_chart(
+                        quesid2score, gqids,
+                        np.asarray(aux["score"]), np.asarray(aux["label"]),
+                    )
                 last_loss = aux["loss"]
             last_loss = float(last_loss)
             history["loss"].append(last_loss)

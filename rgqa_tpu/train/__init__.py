@@ -20,7 +20,11 @@ from rgqa_tpu.train.losses import (
     branched_loss,
 )
 from rgqa_tpu.train.state import TrainState, create_train_state
-from rgqa_tpu.train.step import make_train_step, make_eval_step
+from rgqa_tpu.train.step import (
+    make_chunked_train_step,
+    make_eval_step,
+    make_train_step,
+)
 
 __all__ = [
     "bert_adam",
@@ -35,5 +39,6 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_chunked_train_step",
     "make_eval_step",
 ]

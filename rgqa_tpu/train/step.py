@@ -13,6 +13,7 @@ axis; gradient all-reduce falls out of the batch sharding.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -437,6 +438,37 @@ def make_train_step(
         return state.apply_gradients(grads), aux
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_chunked_train_step(step):
+    """Run K train steps in ONE device dispatch.
+
+    On remote/tunneled chips a jit dispatch is a synchronous round trip
+    (docs/kernels.md "Dispatch anatomy"), so a per-step train loop pays
+    the wire once per optimizer step; scanning K steps inside one jit
+    pays it once per K (``--train_chunk``, the training analogue of
+    ``--eval_chunk``).  ``step`` must be built with ``donate=False``
+    (the scan carry owns the state buffers); the outer jit donates the
+    incoming state instead, so memory use matches the per-step loop.
+
+    Returns ``run(state, batches, keys) -> (state, stacked_aux)`` where
+    ``batches`` is a TUPLE of K same-shape device batch dicts (stacked
+    inside the jit — eager stacking would itself cost per-leaf
+    dispatches) and ``keys`` stacks the K per-step PRNG keys, preserving
+    the exact key sequence of the per-step loop (trajectory equivalence
+    is pinned in tests/test_runner.py).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, batches, keys):
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches
+        )
+        return jax.lax.scan(
+            lambda st, xs: step(st, xs[0], xs[1]), state, (stacked, keys)
+        )
+
+    return run
 
 
 def make_eval_step(forward: Callable, *, with_logits: bool = False):

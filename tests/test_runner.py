@@ -84,6 +84,36 @@ class TestTrainLoop:
         # 38 answers; the synthetic signal should lift it well above 1/38.
         assert history["valid"][-1] > 0.10
 
+    def test_train_chunk_trajectory_identical(self, synth_root, tmp_path):
+        # --train_chunk scans K optimizer steps per dispatch using the
+        # SAME per-step key sequence as the plain loop — losses and final
+        # params must match (3 batches/epoch at chunk 2 also exercises
+        # the partial-group per-step fallback).
+        import jax
+
+        def run(train_chunk, out):
+            cfg = _cfg(
+                synth_root, out, epochs=2, batch_size=32,
+                train_chunk=train_chunk, chart=True,
+            )
+            runner = GQARunner(cfg)
+            history = runner.train()
+            return history, runner.params
+
+        h1, p1 = run(1, str(tmp_path / "plain"))
+        h2, p2 = run(2, str(tmp_path / "chunked"))
+        np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            p1, p2,
+        )
+        # chart pickles exist for both (per-member aux unpacking works)
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "chunked"), "chart", "epoch_0.pkl")
+        )
+
     def test_predict_invariant_to_eval_chunk(self, trained, synth_root):
         # --eval_chunk (batches per device dispatch, chunked_map) is a
         # serving-dispatch knob; it must not change any prediction.
