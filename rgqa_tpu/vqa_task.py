@@ -42,7 +42,11 @@ from rgqa_tpu.data.dataset import EncodedGQA, GQADataset, build_targets
 from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.models.zoo import build_model, example_batch
 from rgqa_tpu.parallel import make_mesh, shard_params
-from rgqa_tpu.train import create_train_state, make_optimizer
+from rgqa_tpu.train import (
+    create_train_state,
+    make_chunked_train_step,
+    make_optimizer,
+)
 from rgqa_tpu.train.losses import optax_sigmoid_bce
 from rgqa_tpu.train.step import global_norm_clip
 
@@ -251,7 +255,14 @@ class VQARunner:
                 loss_fn, has_aux=True
             )(state.params, batch, rng)
             grads = global_norm_clip(grads, tcfg.optim.grad_clip)
-            return state.apply_gradients(grads), loss, labels
+            return state.apply_gradients(grads), {
+                "loss": loss, "label": labels,
+            }
+
+        # --train_chunk K: K optimizer steps per device dispatch (see
+        # runner.train / docs/kernels.md "Dispatch anatomy").
+        chunk = max(1, int(getattr(tcfg, "train_chunk", 1)))
+        chunk_run = make_chunked_train_step(step) if chunk > 1 else None
 
         key = jax.random.PRNGKey(tcfg.seed)
         rng = np.random.default_rng(tcfg.seed)
@@ -272,15 +283,37 @@ class VQARunner:
                 for qid, l in zip(qids0, np.asarray(labels0)[:real0]):
                     quesid2ans[qid] = self.label2ans[int(l)]
 
+            group: list = []  # (qids, batch, key, real) per chunk member
             for qids, batch, real in self._batches(
                 train_set, tcfg.batch_size, shuffle=True, rng=rng,
                 drop_last=True,
             ):
                 key, sub = jax.random.split(key)
-                state, loss, labels = step(state, batch, sub)
-                pending.append((qids, labels, real))
-                if len(pending) > 4:
+                if chunk > 1:
+                    group.append((qids, batch, sub, real))
+                    if len(group) < chunk:
+                        continue
+                    state, auxs = chunk_run(
+                        state,
+                        tuple(b for _, b, _, _ in group),
+                        jnp.stack([s for _, _, s, _ in group]),
+                    )
+                    loss = auxs["loss"][-1]
+                    for gi, (gqids, _, _, greal) in enumerate(group):
+                        pending.append((gqids, auxs["label"][gi], greal))
+                    group = []
+                else:
+                    state, aux = step(state, batch, sub)
+                    loss = aux["loss"]
+                    pending.append((qids, aux["label"], real))
+                while len(pending) > 4:
                     drain(pending.popleft())
+            # Partial final group: per-step (a padded TRAIN group would
+            # apply spurious updates).
+            for gqids, batch, sub, greal in group:
+                state, aux = step(state, batch, sub)
+                loss = aux["loss"]
+                pending.append((gqids, aux["label"], greal))
             while pending:
                 drain(pending.popleft())
             self.params = state.params

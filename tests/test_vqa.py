@@ -98,6 +98,23 @@ class TestVQARunner:
         assert history["valid"][-1] > 0.1
         assert os.path.exists(os.path.join(out, "BEST"))
         assert os.path.exists(os.path.join(out, "LAST"))
+
+    def test_train_chunk_trajectory_identical(self, vqa_root, trained,
+                                              tmp_path_factory):
+        # --train_chunk must not change the VQA trajectory (same key
+        # sequence scanned K steps per dispatch; odd batch count also
+        # exercises the per-step tail).
+        runner, history, _ = trained
+        out = str(tmp_path_factory.mktemp("vqa_chunked"))
+        cfg = _cfg(vqa_root, [
+            "--train", "train", "--valid", "minival",
+            "--epochs", "4", "--lr", "3e-3", "--output", out,
+            "--train_chunk", "2",
+        ])
+        chunked = VQARunner(cfg)
+        h2 = chunked.train()
+        np.testing.assert_allclose(h2["loss"], history["loss"], rtol=1e-5)
+        np.testing.assert_allclose(h2["train"], history["train"], rtol=1e-6)
         assert os.path.exists(os.path.join(out, "log.log"))
 
     def test_oracle_bounds_valid(self, trained):
