@@ -63,13 +63,17 @@ def main():
             {k: jnp.asarray(v) for k, v in hb.items()}
         )
     np.asarray(batches[-1]["feats"][0, 0, 0])
-    keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(N)]
 
-    # --- A. per-step dispatch -----------------------------------------
+    # All three variants draw the per-step keys by chaining
+    # key, sub = split(key) from PRNGKey(0) — A on host (its own
+    # dispatch round trip per step, like runner.train's chunk=1 loop),
+    # B and C inside the jit — so the losses are comparable.
     def run_per_step():
         state = create_train_state(params, tx)
-        for b, kk in zip(batches, keys):
-            state, aux = step(state, b, kk)
+        k = jax.random.PRNGKey(0)
+        for b in batches:
+            k, sub = jax.random.split(k)
+            state, aux = step(state, b, sub)
         return float(aux["loss"])
 
     run_per_step()  # compile + warm
@@ -87,15 +91,18 @@ def main():
         state = create_train_state(
             jax.tree_util.tree_map(jnp.copy, params), tx
         )
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready(), state.params
-        )
+        # host transfer = the only real sync on axon (CLAUDE.md);
+        # block_until_ready returns early there.
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])
         return state
 
     def run_chunked(state):
+        # chunk_run splits the per-step keys in-jit from one carried key;
+        # replicate the same sequence root so losses stay comparable.
+        k = jax.random.PRNGKey(0)
         for i in range(0, N, K):
-            state, auxs = chunk_run(
-                state, tuple(batches[i : i + K]), jnp.stack(keys[i : i + K])
+            state, k, auxs = chunk_run(
+                state, tuple(batches[i : i + K]), k
             )
         return float(auxs["loss"][-1])
 
@@ -108,18 +115,23 @@ def main():
 
     # --- C. one scan over all N (ideal bound) ---------------------------
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_all(state, stacked, kk):
-        return jax.lax.scan(
-            lambda st, xs: step(st, xs[0], xs[1]), state, (stacked, kk)
-        )
+    def run_all(state, stacked, k):
+        def body(carry, b):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            st, aux = step(st, b, sub)
+            return (st, kk), aux
+
+        (state, k), auxs = jax.lax.scan(body, (state, k), stacked)
+        return state, auxs
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
-    kk = jnp.stack(keys)
-    state, auxs = run_all(fresh_state(), stacked, kk)
+    k0 = jax.random.PRNGKey(0)
+    state, auxs = run_all(fresh_state(), stacked, k0)
     np.asarray(auxs["loss"])  # compile + warm
     state = fresh_state()
     t0 = time.perf_counter()
-    state, auxs = run_all(state, stacked, kk)
+    state, auxs = run_all(state, stacked, k0)
     losses = np.asarray(auxs["loss"])
     t_c = time.perf_counter() - t0
     print(f"C one-scan ideal    : {t_c*1e3/N:7.2f} ms/step (loss {losses[-1]:.3f})")

@@ -303,6 +303,11 @@ class GQARunner(ScoringMixin):
         first training steps.
         """
         if self.cfg.train.strategy in ("resampling", "poem", "woods"):
+            if getattr(self.cfg.train, "train_chunk", 1) > 1:
+                print(
+                    "--train_chunk ignored for the min-max strategies "
+                    "(dual-loader loop)", flush=True,
+                )
             return self.train_minmax()
         cfg = self.cfg
         tcfg = cfg.train
@@ -330,7 +335,11 @@ class GQARunner(ScoringMixin):
         # is excluded: its step closes over the teacher params, which
         # would embed as compile-payload constants inside the chunk jit.
         chunk = max(1, int(getattr(tcfg, "train_chunk", 1)))
-        if tcfg.strategy == "distill_online":
+        if tcfg.strategy == "distill_online" and chunk > 1:
+            print(
+                "--train_chunk ignored for distill_online (the teacher "
+                "params would embed as compile constants)", flush=True,
+            )
             chunk = 1
 
         teacher_params = None
@@ -425,12 +434,7 @@ class GQARunner(ScoringMixin):
                 ),
                 self.mesh,
             )
-            pend: list = []  # (qids, batch, key) awaiting a chunked dispatch
-
-            def run_pending(state):
-                batches = tuple(b for _, b, _ in pend)
-                keys = jnp.stack([s for _, _, s in pend])
-                return chunk_run(state, batches, keys)
+            pend: list = []  # (qids, batch) awaiting a chunked dispatch
 
             for qids, batch, _ in it:
                 if similarity is not None:
@@ -445,35 +449,40 @@ class GQARunner(ScoringMixin):
                     batch["neg_weights"] = jnp.asarray(
                         w / w.sum(), jnp.float32
                     )
-                key, sub = jax.random.split(key)
                 if chunk > 1:
-                    # K steps per dispatch; the key sequence is exactly
-                    # the per-step loop's, so trajectories are identical
-                    # (pinned in tests/test_runner.py).
-                    pend.append((qids, batch, sub))
+                    # K steps per dispatch; the per-step key splits run
+                    # INSIDE the chunked jit (a host split is its own
+                    # dispatch round trip), producing bitwise the same
+                    # key sequence as the per-step loop — trajectories
+                    # are identical (pinned in tests/test_runner.py).
+                    pend.append((qids, batch))
                     if len(pend) < chunk:
                         continue
+                    batches = tuple(b for _, b in pend)
                     if profile_dir and not profiled and epoch == 0:
                         with jax.profiler.trace(profile_dir):
-                            state, auxs = run_pending(state)
-                            jax.block_until_ready(auxs["loss"])
+                            state, key, auxs = chunk_run(state, batches, key)
+                            # np.asarray: on axon block_until_ready
+                            # returns early; only a host transfer syncs.
+                            np.asarray(auxs["loss"])
                         profiled = True
                     else:
-                        state, auxs = run_pending(state)
+                        state, key, auxs = chunk_run(state, batches, key)
                     if tcfg.chart:
                         scores = np.asarray(auxs["score"])
                         labels = np.asarray(auxs["label"])
-                        for gi, (gqids, _, _) in enumerate(pend):
+                        for gi, (gqids, _) in enumerate(pend):
                             record_chart(
                                 quesid2score, gqids, scores[gi], labels[gi]
                             )
                     last_loss = auxs["loss"][-1]
                     pend = []
                     continue
+                key, sub = jax.random.split(key)
                 if profile_dir and not profiled and epoch == 0:
                     with jax.profiler.trace(profile_dir):
                         state, aux = step(state, batch, sub)
-                        jax.block_until_ready(aux["loss"])
+                        np.asarray(aux["loss"])  # host transfer = real sync
                     profiled = True
                 else:
                     state, aux = step(state, batch, sub)
@@ -485,7 +494,8 @@ class GQARunner(ScoringMixin):
                 last_loss = aux["loss"]
             # Partial final group: run the remaining steps per-dispatch
             # (padding a TRAIN group would apply spurious updates).
-            for gqids, batch, sub in pend:
+            for gqids, batch in pend:
+                key, sub = jax.random.split(key)
                 state, aux = step(state, batch, sub)
                 if tcfg.chart:
                     record_chart(

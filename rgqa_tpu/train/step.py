@@ -451,22 +451,31 @@ def make_chunked_train_step(step):
     (the scan carry owns the state buffers); the outer jit donates the
     incoming state instead, so memory use matches the per-step loop.
 
-    Returns ``run(state, batches, keys) -> (state, stacked_aux)`` where
-    ``batches`` is a TUPLE of K same-shape device batch dicts (stacked
-    inside the jit — eager stacking would itself cost per-leaf
-    dispatches) and ``keys`` stacks the K per-step PRNG keys, preserving
-    the exact key sequence of the per-step loop (trajectory equivalence
-    is pinned in tests/test_runner.py).
+    Returns ``run(state, batches, key) -> (state, key', stacked_aux)``
+    where ``batches`` is a TUPLE of K same-shape device batch dicts
+    (stacked inside the jit) and ``key`` is the loop's PRNG key: the
+    scan performs the per-step ``key, sub = jax.random.split(key)``
+    ITSELF — bitwise the sequence the per-step loop draws, so
+    trajectories are identical (pinned in tests/test_runner.py) — and
+    returns the advanced key for the caller's tail steps.  Doing the
+    splits in-jit matters: each host-side ``split`` is its own dispatch
+    round trip, which would re-pay per step what the chunking saves.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state, batches, keys):
+    def run(state, batches, key):
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *batches
         )
-        return jax.lax.scan(
-            lambda st, xs: step(st, xs[0], xs[1]), state, (stacked, keys)
-        )
+
+        def body(carry, b):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, aux = step(st, b, sub)
+            return (st, k), aux
+
+        (state, key), auxs = jax.lax.scan(body, (state, key), stacked)
+        return state, key, auxs
 
     return run
 

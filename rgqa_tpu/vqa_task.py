@@ -283,26 +283,27 @@ class VQARunner:
                 for qid, l in zip(qids0, np.asarray(labels0)[:real0]):
                     quesid2ans[qid] = self.label2ans[int(l)]
 
-            group: list = []  # (qids, batch, key, real) per chunk member
+            group: list = []  # (qids, batch, real) per chunk member
             for qids, batch, real in self._batches(
                 train_set, tcfg.batch_size, shuffle=True, rng=rng,
                 drop_last=True,
             ):
-                key, sub = jax.random.split(key)
                 if chunk > 1:
-                    group.append((qids, batch, sub, real))
+                    # Per-step key splits run inside the chunked jit —
+                    # bitwise the per-step loop's sequence (pinned in
+                    # tests/test_vqa.py).
+                    group.append((qids, batch, real))
                     if len(group) < chunk:
                         continue
-                    state, auxs = chunk_run(
-                        state,
-                        tuple(b for _, b, _, _ in group),
-                        jnp.stack([s for _, _, s, _ in group]),
+                    state, key, auxs = chunk_run(
+                        state, tuple(b for _, b, _ in group), key
                     )
                     loss = auxs["loss"][-1]
-                    for gi, (gqids, _, _, greal) in enumerate(group):
+                    for gi, (gqids, _, greal) in enumerate(group):
                         pending.append((gqids, auxs["label"][gi], greal))
                     group = []
                 else:
+                    key, sub = jax.random.split(key)
                     state, aux = step(state, batch, sub)
                     loss = aux["loss"]
                     pending.append((qids, aux["label"], real))
@@ -310,7 +311,8 @@ class VQARunner:
                     drain(pending.popleft())
             # Partial final group: per-step (a padded TRAIN group would
             # apply spurious updates).
-            for gqids, batch, sub, greal in group:
+            for gqids, batch, greal in group:
+                key, sub = jax.random.split(key)
                 state, aux = step(state, batch, sub)
                 loss = aux["loss"]
                 pending.append((gqids, aux["label"], greal))

@@ -98,6 +98,7 @@ class TestVQARunner:
         assert history["valid"][-1] > 0.1
         assert os.path.exists(os.path.join(out, "BEST"))
         assert os.path.exists(os.path.join(out, "LAST"))
+        assert os.path.exists(os.path.join(out, "log.log"))
 
     def test_train_chunk_trajectory_identical(self, vqa_root, trained,
                                               tmp_path_factory):
