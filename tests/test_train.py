@@ -219,6 +219,52 @@ class TestTrainStep:
         assert np.isfinite(float(aux["loss"]))
         assert int(state.step) == 1
 
+    def test_spmd_chunked_step_on_8_device_mesh(self):
+        # --train_chunk composes with SPMD: the K-step scan runs over
+        # sharded batches with sharded state, and matches the per-step
+        # sharded loop's trajectory (same in-jit key sequence).
+        from rgqa_tpu.train import make_chunked_train_step
+
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(jax.devices(), model=2)
+        model, forward = build_model(TINY_CFG)
+        batches = [
+            example_batch(TINY_CFG, batch_size=8, seed=s, with_target=True)
+            for s in range(4)
+        ]
+        params = shard_params(
+            mesh, _init(model, {k: jnp.asarray(v) for k, v in batches[0].items()})
+        )
+        tx = bert_adam(1e-3, warmup=0.1, t_total=10)
+        step = make_train_step(forward, sample_pair=True, donate=False)
+        sharded = [shard_batch(mesh, b) for b in batches]
+
+        # per-step reference (host-side split chain)
+        state = create_train_state(params, tx)
+        k = jax.random.PRNGKey(0)
+        for b in sharded:
+            k, sub = jax.random.split(k)
+            state, aux = step(state, b, sub)
+        ref_loss = float(aux["loss"])
+        ref_params = state.params
+
+        # chunked: all 4 steps in one dispatch (in-jit splits)
+        state2 = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), tx
+        )
+        chunk_run = make_chunked_train_step(step)
+        state2, _, auxs = chunk_run(state2, tuple(sharded), jax.random.PRNGKey(0))
+        assert int(state2.step) == 4
+        np.testing.assert_allclose(
+            float(auxs["loss"][-1]), ref_loss, rtol=1e-5
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            ref_params, state2.params,
+        )
+
     def test_eval_step_outputs(self):
         model, forward = build_model(TINY_CFG)
         batch = example_batch(TINY_CFG, batch_size=4, seed=0)
