@@ -43,8 +43,16 @@ class ScoringMixin:
     # Pipelined eval plumbing
     # ------------------------------------------------------------------
 
-    def _iter_eval(self, encoded: EncodedGQA, *, with_target: bool = False):
+    def _iter_eval(
+        self,
+        encoded: EncodedGQA,
+        *,
+        with_target: bool = False,
+        feed_bf16: Optional[bool] = None,
+    ):
         bs = self.cfg.train.batch_size
+        if feed_bf16 is None:
+            feed_bf16 = self.cfg.train.use_bf16
         return device_prefetch(
             batch_iterator(
                 encoded, bs, shuffle=False, with_target=with_target
@@ -52,7 +60,9 @@ class ScoringMixin:
             self.mesh,
             # bf16 models consume feats/pixels as bf16 — casting on host
             # halves the dominant host->device bytes (docs/kernels.md).
-            feed_bf16=self.cfg.train.use_bf16,
+            # Grad-at-eval scorers (needs_f32_inputs) opt out: their
+            # ~1e-4 sign-gradient perturbations need off-lattice f32.
+            feed_bf16=feed_bf16,
         )
 
     def _map_eval(
@@ -80,9 +90,14 @@ class ScoringMixin:
         serving waves) compiles once per process.  Yields ``(qids,
         numpy outputs, real)``."""
         params = self.params if params is None else params
+        feed_bf16 = None
+        if getattr(step_fn, "needs_f32_inputs", False):
+            feed_bf16 = False
         return chunked_map(
             step_fn,
-            self._iter_eval(encoded, with_target=with_target),
+            self._iter_eval(
+                encoded, with_target=with_target, feed_bf16=feed_bf16
+            ),
             chunk=getattr(self.cfg.train, "eval_chunk", 1),
             captures=params,
             select=select,

@@ -68,7 +68,10 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, *, deterministic: bool = True):
+    def __call__(
+        self, x, bias=None, *, deterministic: bool = True,
+        use_fused=None,
+    ):
         c = self.cfg
 
         h = LayerNorm(eps=1e-6, name="norm1")(x)
@@ -85,6 +88,7 @@ class ViTBlock(nn.Module):
         ctx = fused_attention(
             proj("query"), proj("key"), proj("value"), bias,
             num_heads=c.num_heads,
+            force_xla=use_fused is False,
         )
         ctx = nn.Dense(
             c.hidden_size, kernel_init=dense_init, name="att_out", dtype=self.dtype
@@ -187,6 +191,7 @@ class ViltForGQA(nn.Module):
         *,
         pixel_mask=None,
         deterministic: bool = True,
+        use_fused=None,
         **_,
     ) -> dict[str, Any]:
         b = input_ids.shape[0]
@@ -221,7 +226,10 @@ class ViltForGQA(nn.Module):
             jnp.concatenate([input_mask, img_mask], axis=1), self.dtype
         )
         for blk in self.blocks:
-            stream = blk(stream, bias, deterministic=deterministic)
+            stream = blk(
+                stream, bias, deterministic=deterministic,
+                use_fused=use_fused,
+            )
         stream = self.norm(stream)
         pooled = self.pooler(stream)
         return {

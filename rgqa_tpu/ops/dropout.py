@@ -5,14 +5,22 @@
 3.5x the hardware rbg path, and a full LXMERT forward has ~58
 hidden-dropout sites (docs/kernels.md, MC-dropout section).
 
-``cheap_dropout`` compares a **bfloat16 uniform** (exactly 8 mantissa
-bits -> uniform over {0, 1/256, ..., 255/256}, native 16-bit VPU lanes —
-the measured-fastest mask representation of u8/u32/f32/bf16,
-``experiments/rngcost2_exp.py``) against the 1/256-quantized threshold
-and derives the keep-scale from that quantized rate, so ``E[out] = x``
-holds exactly (e.g. the BERT 0.1 becomes 26/256 = 0.1016; dropout rates
-are statistical regularizers, checkpoint-parity eval paths run
+``cheap_dropout`` compares one random **byte** per element against the
+1/256-quantized threshold — the same Bernoulli contract as the
+attention kernel's in-kernel byte masks (ops/attention.py) — and
+derives the keep-scale from that quantized rate, so ``E[out] = x``
+holds exactly (e.g. the BERT 0.1 becomes 26/256 = 0.1016; dropout
+rates are statistical regularizers, checkpoint-parity eval paths run
 deterministic).
+
+A bf16-uniform comparison was shipped here first and REFUTED: jax's
+bf16 uniform carries only 7 explicit mantissa bits, i.e. a 128-value
+lattice {k/128}, so odd byte thresholds fell between lattice points —
+keep probability off by 1/256 from the scale's assumption (biased
+E[out]), and t=255 unreachable (everything dropped while scaling by
+256).  Bytes restore the exact 1/256 semantics at half the random bits
+of the bf16 draw; mask-application cost is representation-invariant on
+v5e anyway (``experiments/rngcost2_exp.py``).
 
 The reference relies on torch's CUDA dropout (Philox); this is the
 TPU-native counterpart with the same Bernoulli(rate), 1/(1-rate)
@@ -31,19 +39,20 @@ __all__ = ["cheap_dropout", "HiddenDropout"]
 def cheap_dropout(x, rate: float, rng):
     """Inverted dropout at the 1/256-quantized rate, exact expectation.
 
-    The mask compares a **bfloat16 uniform** against the quantized
-    threshold: bf16 uniforms carry exactly 8 mantissa bits, so ``u`` is
-    uniform over {0, 1/256, ..., 255/256} and ``P(u >= t/256)`` is
-    exactly ``(256-t)/256`` — the same Bernoulli as a byte threshold,
-    but compared in the VPU's native 16-bit lanes (measured fastest of
-    the u8/u32/f32/bf16 mask representations on v5e, docs/kernels.md).
+    One uint8 draw per element: ``P(byte >= t) = (256-t)/256`` exactly,
+    for every ``t`` in [0, 256].  ``rate >= 255.5/256`` quantizes to
+    t=256 — nothing can be kept, so the output is zeros (matching
+    ``nn.Dropout``'s rate=1.0 behaviour) rather than dividing by a zero
+    keep probability.
     """
     t = int(round(float(rate) * 256.0))
     if t <= 0:
         return x
+    if t >= 256:
+        return jnp.zeros_like(x)
     keep_p = (256 - t) / 256.0
-    u = jax.random.uniform(rng, x.shape, jnp.bfloat16)
-    keep = u >= jnp.bfloat16(t / 256.0)
+    byte = jax.random.bits(rng, x.shape, jnp.uint8)
+    keep = byte >= jnp.uint8(t)
     return jnp.where(keep, x * (1.0 / keep_p), jnp.zeros_like(x))
 
 

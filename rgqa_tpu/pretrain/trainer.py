@@ -170,10 +170,16 @@ class PretrainRunner:
             dtype=jnp.bfloat16 if cfg.train.use_bf16 else jnp.float32,
         )
         self.mesh = make_mesh(model=cfg.mesh.model_axis)
-        self._ans_cache: dict[int, np.ndarray] = {
-            id(self.train_set): self._answer_ids(self.train_set),
-            id(self.valid_set): self._answer_ids(self.valid_set),
-        }
+        # Weak keys + compute-on-miss: an id()-keyed dict would serve a
+        # stale array if a dead dataset's id were recycled, and KeyError
+        # on any split other than the two precomputed ones.
+        import weakref
+
+        self._ans_cache: "weakref.WeakKeyDictionary" = (
+            weakref.WeakKeyDictionary()
+        )
+        self._ans_cache[self.train_set] = self._answer_ids(self.train_set)
+        self._ans_cache[self.valid_set] = self._answer_ids(self.valid_set)
         b = self._host_batch(self.train_set, np.arange(2))
         params = self.model.init(
             jax.random.PRNGKey(cfg.train.seed),
@@ -204,7 +210,11 @@ class PretrainRunner:
         rows = encoded.img_row[idx]
         batch["obj_id"] = np.asarray(self.features.objects_id[rows], np.int32)
         batch["attr_id"] = np.asarray(self.features.attrs_id[rows], np.int32)
-        batch["ans"] = self._ans_cache[id(encoded)][idx]
+        ans = self._ans_cache.get(encoded)
+        if ans is None:
+            ans = self._answer_ids(encoded)
+            self._ans_cache[encoded] = ans
+        batch["ans"] = ans[idx]
         return batch
 
     class _FeedView:
@@ -226,8 +236,8 @@ class PretrainRunner:
     def _batches(self, encoded, batch_size, *, shuffle, rng=None):
         from rgqa_tpu.data.batching import batch_iterator, device_prefetch
 
-        if id(encoded) not in self._ans_cache:
-            self._ans_cache[id(encoded)] = self._answer_ids(encoded)
+        if encoded not in self._ans_cache:
+            self._ans_cache[encoded] = self._answer_ids(encoded)
         it = batch_iterator(
             self._FeedView(self, encoded), batch_size,
             shuffle=shuffle, rng=rng, drop_last=True,

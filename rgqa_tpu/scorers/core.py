@@ -103,6 +103,11 @@ def make_odin_scorer(
             "score": jnp.max(probs, axis=-1),
         }
 
+    # The sign-gradient perturbation (~1e-4) needs off-lattice f32
+    # inputs: a host-side bf16 feed pre-rounds feats onto the bf16 grid
+    # and the perturbation then rounds away at the model's input cast.
+    # The eval feed checks this flag (eval.ScoringMixin._iter_eval).
+    score_fn.needs_f32_inputs = True
     return score_fn
 
 
@@ -152,12 +157,16 @@ def make_dropout_scorer(forward, seed_list: Sequence[int]) -> Callable:
         # table: each pass's candidate scores how many passes agree with
         # it (S is tiny, e.g. 5, so the (S, S, B) equality is cheap).
         eq = labels[:, None, :] == labels[None, :, :]  # (S, S, B)
-        tally = jnp.sum(eq, axis=0).astype(jnp.float32)  # (S, B)
-        tally = tally + 0.5 * (labels == first[None, :])
-        # Break remaining ties toward the lower class index: subtract an
-        # epsilon monotone in the label value.
-        tally = tally - labels.astype(jnp.float32) * 1e-9
-        best_pass = jnp.argmax(tally, axis=0)  # (B,)
+        # Integer tally (x2 so the first-pass half-bonus stays integral):
+        # a float epsilon tie-break is BELOW f32 resolution for nearby
+        # labels (2.0 - 7e-9 == 2.0 in f32) — do it exactly instead.
+        tally2 = 2 * jnp.sum(eq.astype(jnp.int32), axis=0)  # (S, B)
+        tally2 = tally2 + (labels == first[None, :]).astype(jnp.int32)
+        # Break remaining ties toward the LOWER class index, exactly:
+        # lexicographic (tally, -label) packed into one int32 (tally2
+        # <= 2S+1, labels < 2^20 for any plausible answer vocab).
+        combined = tally2 * (1 << 20) - labels.astype(jnp.int32)
+        best_pass = jnp.argmax(combined, axis=0)  # (B,)
         label = jnp.take_along_axis(labels, best_pass[None, :], axis=0)[0]
         return {"label": label, "score": jnp.mean(maxp, axis=0)}
 

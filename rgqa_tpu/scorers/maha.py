@@ -147,4 +147,7 @@ def make_maha_scorer(
             "score": jnp.max(scores, axis=-1),
         }
 
+    # Input-gradient perturbation: needs off-lattice f32 feats (see
+    # make_odin_scorer) — the eval feed checks this flag.
+    score_fn.needs_f32_inputs = True
     return score_fn

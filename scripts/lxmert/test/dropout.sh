@@ -2,9 +2,7 @@
 DATA_ROOT=${DATA_ROOT:-data/gqa}
 OUTPUT=${OUTPUT:-snap/gqa}
 LOAD=${LOAD:-$OUTPUT/lxmert/vanilla/BEST}
-EXTRA=""
-[ "dropout" = odin ] && EXTRA="--temperature 1e5 --noise 1e-4"
-[ "dropout" = dropout ] && EXTRA="--seed_list 0,1,2,3,4"
+EXTRA="--seed_list 0,1,2,3,4"
 for subset in GQAUQ_testdev_questions_ClipEasy GQAUQ_testdev_questions_ClipHard GQAUQ_testdev_questions_PTEasy GQAUQ_testdev_questions_PTHard; do
   python -m rgqa_tpu.cli.evaluate --backbone lxmert --data_root $DATA_ROOT \
     --test $subset --load $LOAD --scorer dropout $EXTRA \

@@ -111,8 +111,15 @@ class TestNativeDecoder:
         # both paths to the same noise.  Warm both first (page cache,
         # lazy imports).
         native(), python()
-        pairs = [(timed(native), timed(python)) for _ in range(5)]
-        t_native = min(tn for tn, _ in pairs)
-        t_python = min(tp for _, tp in pairs)
+        # Two attempts: load1 is a 1-minute average, so a contention
+        # burst that just started can slip past the guard above; a
+        # transient burst won't survive both windows.
+        for attempt in range(2):
+            pairs = [(timed(native), timed(python)) for _ in range(5)]
+            t_native = min(tn for tn, _ in pairs)
+            t_python = min(tp for _, tp in pairs)
+            if t_native < t_python * 1.5:
+                return
+            time.sleep(2.0)
         # The native pass should win comfortably; allow slack for noise.
         assert t_native < t_python * 1.5, (t_native, t_python)

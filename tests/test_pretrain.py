@@ -181,7 +181,7 @@ class TestTwoSourcePretrain:
 
         # Rows answered outside the filtered vocab get QA disabled (-1);
         # rows inside map through convert_ans into the filtered id space.
-        ans_ids = runner._ans_cache[id(runner.train_set)]
+        ans_ids = runner._ans_cache[runner.train_set]
         enc = runner.train_set
         checked_in = checked_out = 0
         for i in range(len(enc)):
@@ -211,7 +211,7 @@ class TestTwoSourcePretrain:
         cfg = self._cfg(root, tmp_path)  # qa_sets=None
         runner = PretrainRunner(cfg)
         assert runner.answer_table.all_answers() == answers
-        ans_ids = runner._ans_cache[id(runner.train_set)]
+        ans_ids = runner._ans_cache[runner.train_set]
         assert (ans_ids >= 0).any()
 
 
