@@ -178,9 +178,28 @@ def main():
         ]
         np.asarray(staged[-1][1]["feats"][0, 0, 0])  # force materialization
 
+        # Grad-at-eval scorers (ODIN/Maha) opt out of the bf16 feed in
+        # production (needs_f32_inputs: their ~1e-4 sign-gradient
+        # perturbations quantize away on the bf16 lattice) — mirror that
+        # here so '{name}_prod'/'{name}_staged' time the same compiled
+        # program score_split runs.  f32-staged inputs built lazily once.
+        staged_f32 = None
+
         keys = ("label", "score")
         for name in which:
             score_fn = scorers[name]()
+            f32_inputs = getattr(score_fn, "needs_f32_inputs", False)
+            if f32_inputs and staged_f32 is None:
+                staged_f32 = [
+                    (
+                        qids,
+                        {k: jnp.asarray(v) for k, v in hb.items()},
+                        real,
+                    )
+                    for qids, hb, real in host_batches
+                ]
+                np.asarray(staged_f32[-1][1]["feats"][0, 0, 0])
+            my_staged = staged_f32 if f32_inputs else staged
 
             # params threaded explicitly (chunked_map captures): a
             # closed-over param pytree would be embedded in the chunked
@@ -199,7 +218,9 @@ def main():
                 count = 0
                 for _, out, real in pipelined_map(
                     select_fn,
-                    device_prefetch(iter(host_batches), None, feed_bf16=True),
+                    device_prefetch(
+                        iter(host_batches), None, feed_bf16=not f32_inputs
+                    ),
                 ):
                     count += len(out["label"])
                 return count
@@ -217,7 +238,7 @@ def main():
             # structure from the input wire (docs/kernels.md).
             def run_staged():
                 count = 0
-                for _, out, real in pipelined_map(select_fn, iter(staged)):
+                for _, out, real in pipelined_map(select_fn, iter(my_staged)):
                     count += len(out["label"])
                 return count
 
@@ -227,7 +248,7 @@ def main():
             def run_staged_chunked():
                 count = 0
                 for _, out, real in chunked_map(
-                    select_p, iter(staged), chunk=4, captures=params
+                    select_p, iter(my_staged), chunk=4, captures=params
                 ):
                     count += len(out["label"])
                 return count

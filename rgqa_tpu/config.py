@@ -175,6 +175,10 @@ class DataConfig:
     # masked center pad) or "crop" (shorter side -> size, center crop —
     # the reference MinMaxResize patch scale).  docs/vilt_images.md.
     vilt_resize: str = "pad"
+    # GloVe-300 text file for BUTD word-embedding init (reference
+    # ``butd/preprocess.py:54-123`` hardcodes data/butd/glove.6B.300d.txt;
+    # None = auto-detect <data_root>/butd/glove.6B.300d.txt, skip if absent).
+    glove_path: Optional[str] = None
     synthetic: bool = False  # generate synthetic data (this environment
     # has no GQA download; see data/synthetic.py)
 
@@ -336,6 +340,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualLosses", dest="visual_losses", default="obj,attr,feat")
     p.add_argument("--qaSets", dest="qa_sets", default=None)
     p.add_argument("--vilt_resize", choices=("pad", "crop"), default="pad")
+    p.add_argument(
+        "--glove", dest="glove_path", default=None,
+        help="GloVe-300 txt for BUTD embedding init (butd/preprocess.py)",
+    )
     p.add_argument("--wordMaskRate", dest="word_mask_rate", type=float, default=0.15)
     p.add_argument("--objMaskRate", dest="obj_mask_rate", type=float, default=0.15)
     # Accepted for script compatibility; multi-device use is controlled by
@@ -432,6 +440,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             fast=ns.fast,
             qa_sets=ns.qa_sets,
             vilt_resize=ns.vilt_resize,
+            glove_path=ns.glove_path,
             num_workers=ns.num_workers,
             synthetic=ns.synthetic,
         ),

@@ -43,6 +43,21 @@ class ScoringMixin:
     # Pipelined eval plumbing
     # ------------------------------------------------------------------
 
+    def _cached_step(self, key, build):
+        """Per-runner cache of step-fn objects.
+
+        ``chunked_map``'s scan-wrapper compile cache is keyed by step-fn
+        *identity*, so a method that rebuilds its step fn per call would
+        recompile the chunked wrapper on every call — 3-10 min over the
+        tunnel, paid at each per-epoch validation.  Every eval surface
+        therefore fetches its step fn here, building it at most once per
+        runner."""
+        cache = self.__dict__.setdefault("_step_fn_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = build()
+        return fn
+
     def _iter_eval(
         self,
         encoded: EncodedGQA,
@@ -110,9 +125,11 @@ class ScoringMixin:
     def predict(self, encoded: EncodedGQA, dump: Optional[str] = None) -> dict:
         """Closed-set predictions {qid: answer} (``gqa_conf.py:245-260``)."""
         quesid2ans = {}
+        # self.eval_step already has the (params, batch) signature — pass
+        # it directly so its identity keys the chunked-dispatch compile
+        # cache (a per-call lambda would recompile every call).
         for qids, out, real in self._map_eval(
-            encoded, lambda p, b: self.eval_step(p, b),
-            select=("label",),
+            encoded, self.eval_step, select=("label",),
         ):
             for qid, l in zip(qids, out["label"][:real]):
                 quesid2ans[qid] = self.label2ans[int(l)]
@@ -132,16 +149,18 @@ class ScoringMixin:
     ) -> float:
         """Top-k oracle accuracy: count the gold answer as correct when it
         appears in the top-k proposals (``gqa.py:196-217``)."""
-        import functools
 
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def topk_step(params, batch, k):
-            out = self.forward(params, batch, deterministic=True)
-            return jax.lax.top_k(out["logits"].astype(jnp.float32), k)[1]
+        def build():
+            @jax.jit
+            def topk_step(params, batch):
+                out = self.forward(params, batch, deterministic=True)
+                return jax.lax.top_k(out["logits"].astype(jnp.float32), k)[1]
+
+            return topk_step
 
         quesid2ans = {}
         for qids, idx, real in self._map_eval(
-            encoded, lambda p, b: topk_step(p, b, k)
+            encoded, self._cached_step(("topk", k), build)
         ):
             for qid, proposals in zip(qids, idx[:real]):
                 label = encoded.dataset.id2datum[qid].get("label") or {}
@@ -176,16 +195,19 @@ class ScoringMixin:
         """
         os.makedirs(out_dir, exist_ok=True)
 
-        @jax.jit
-        def viz_step(params, batch):
-            out = self.forward(
-                params, batch, deterministic=True, output_probs=True
-            )
-            return out["x_attention_probs"]
+        def build():
+            @jax.jit
+            def viz_step(params, batch):
+                out = self.forward(
+                    params, batch, deterministic=True, output_probs=True
+                )
+                return out["x_attention_probs"]
+
+            return viz_step
 
         written = 0
         for qids, probs, real in self._map_eval(
-            encoded, lambda p, b: viz_step(p, b)
+            encoded, self._cached_step("viz", build)
         ):
             for row, qid in enumerate(qids[:real]):
                 arrays = {}
@@ -204,19 +226,23 @@ class ScoringMixin:
 
     def make_scorer(self, name: Optional[str] = None):
         ocfg = self.cfg.ood
-        name = name or ocfg.scorer
-        opts = dict(
-            temperature=ocfg.temperature,
-            noise=ocfg.noise,
-            topk=2,
-            seed_list=ocfg.seed_list or (0, 1, 2, 3, 4),
-            mix=ocfg.mix_branched_score,
-        )
-        if name == "maha":
-            opts["estimator"] = self.fit_maha_estimator()
-        if name == "msp" or name is None:
-            name = "msp"
-        return make_scorer(name, self.forward, **opts)
+        name = name or ocfg.scorer or "msp"
+
+        def build():
+            opts = dict(
+                temperature=ocfg.temperature,
+                noise=ocfg.noise,
+                topk=2,
+                seed_list=ocfg.seed_list or (0, 1, 2, 3, 4),
+                mix=ocfg.mix_branched_score,
+            )
+            if name == "maha":
+                opts["estimator"] = self.fit_maha_estimator()
+            return make_scorer(name, self.forward, **opts)
+
+        # Cached per resolved name: the scorer's identity keys the
+        # chunked-dispatch compile cache, and cfg.ood is fixed per runner.
+        return self._cached_step(("scorer", name), build)
 
     def score_split(
         self, encoded: EncodedGQA, scorer=None, params=None
@@ -390,21 +416,26 @@ class ScoringMixin:
         matched head's softmax[:, 1]."""
         from rgqa_tpu.models.lxmert import LxmertPretraining
 
-        pre_model = LxmertPretraining(self.model_cfg.encoder, dtype=jnp.float32)
-
-        @jax.jit
-        def match_step(params, batch):
-            return pre_model.apply(
-                {"params": params},
-                batch["input_ids"], batch["input_mask"],
-                batch["segment_ids"], batch["feats"], batch["boxes"],
-                method=LxmertPretraining.match_score,
+        def build():
+            pre_model = LxmertPretraining(
+                self.model_cfg.encoder, dtype=jnp.float32
             )
+
+            @jax.jit
+            def match_step(params, batch):
+                return pre_model.apply(
+                    {"params": params},
+                    batch["input_ids"], batch["input_mask"],
+                    batch["segment_ids"], batch["feats"], batch["boxes"],
+                    method=LxmertPretraining.match_score,
+                )
+
+            return match_step
 
         answers = self.predict(encoded)
         quesid2ans = {}
         for qids, scores, real in self._map_eval(
-            encoded, match_step, params=pretrain_params
+            encoded, self._cached_step("match", build), params=pretrain_params
         ):
             for qid, s in zip(qids, scores[:real]):
                 quesid2ans[qid] = (answers[qid], float(s))
@@ -428,13 +459,17 @@ class ScoringMixin:
             )
         assert self.train_set is not None, "maha needs the train split"
 
-        def pooled_step(p, batch):
-            out = self.eval_step(p, batch)
-            return {"pooled": out["pooled"], "target": batch["target"]}
+        def build():
+            def pooled_step(p, batch):
+                out = self.eval_step(p, batch)
+                return {"pooled": out["pooled"], "target": batch["target"]}
+
+            return pooled_step
 
         def batches():
             for _, out, real in self._map_eval(
-                self.train_set, pooled_step, with_target=True
+                self.train_set, self._cached_step("maha_pooled", build),
+                with_target=True,
             ):
                 yield out["pooled"][:real], out["target"][:real]
 

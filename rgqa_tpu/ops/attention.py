@@ -167,11 +167,24 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
             io *= 2
         return io + scratch
 
-    bt = min(default, b)
-    while bt >= 1:
+    # Candidates: the full default (or batch), then descending powers of
+    # two down to 8 — NOT raw halvings of b, which for a batch that is
+    # neither a power of two nor a multiple of 8 (e.g. b=12) would skip
+    # the Mosaic-lowerable block 8 entirely (12 -> 6 -> 3 -> 1).  A
+    # block < 8 is only lowerable as the full batch, so b itself closes
+    # the list for tiny batches.
+    first = min(default, b)
+    cands = [first]
+    p = 1 << max(first.bit_length() - 1, 0)
+    while p >= 8:
+        if p != first:
+            cands.append(p)
+        p //= 2
+    if b < 8 and b not in cands:
+        cands.append(b)
+    for bt in cands:
         if est(bt) <= _VMEM_BUDGET and (bt % 8 == 0 or bt == b):
             return bt
-        bt //= 2
     return 0
 
 

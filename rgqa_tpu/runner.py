@@ -135,6 +135,8 @@ class GQARunner(ScoringMixin):
 
         self.mesh = make_mesh(model=cfg.mesh.model_axis)
         self.params = self._init_params()
+        if backbone == "butd":
+            self._load_glove_embeddings(root)
         self._load_initial_weights()
 
         self.eval_step = make_eval_step(self.forward)
@@ -156,6 +158,11 @@ class GQARunner(ScoringMixin):
         Covers the configured splits (train/valid/test, dual-loader
         pos/neg) plus the standard split names, so no configured question
         tokenizes to the padding index.
+
+        Cached to ``<root>/butd/dictionary.json`` keyed on the split list
+        — the reference caches ``data/butd/dictionary.pkl`` and rebuilds
+        only when absent (``preprocess.py:60-66``); without the cache
+        every process start re-scans all split JSONs.
         """
         from rgqa_tpu.models.butd import butd_split
 
@@ -167,8 +174,15 @@ class GQARunner(ScoringMixin):
         ):
             if spec:
                 names.update(spec.split(","))
+        key = sorted(names)
+        cache = os.path.join(root, "butd", "dictionary.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                cached = json.load(f)
+            if cached.get("splits") == key:
+                return dict(cached["words"])
         words: dict[str, int] = {}
-        for name in sorted(names):
+        for name in key:
             path = os.path.join(root, f"{name}.json")
             if not os.path.exists(path):
                 continue
@@ -176,7 +190,47 @@ class GQARunner(ScoringMixin):
                 for row in json.load(f):
                     for tok in butd_split(row.get("sent", "")):
                         words.setdefault(tok, len(words))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "w") as f:
+            json.dump({"splits": key, "words": words}, f)
         return words
+
+    def _load_glove_embeddings(self, root: str) -> None:
+        """GloVe-300 init of the BUTD word embedding, cached as
+        ``<root>/butd/glove.npy`` (reference ``preprocess.py:100-123``).
+        Skips silently when no GloVe file exists (random init stands)."""
+        path = self.cfg.data.glove_path or os.path.join(
+            root, "butd", "glove.6B.300d.txt"
+        )
+        if not os.path.exists(path):
+            return
+        from rgqa_tpu.checkpoint.torch_import import _to_mutable
+        from rgqa_tpu.models.butd import build_glove_matrix
+
+        cache = os.path.join(root, "butd", "glove.npy")
+        mat = None
+        if os.path.exists(cache):
+            m = np.load(cache)
+            if m.shape == (
+                len(self.butd_word2idx) + 1, self.model_cfg.butd_embed_dim
+            ):
+                mat = m
+        if mat is None:
+            mat = build_glove_matrix(
+                self.butd_word2idx, path, dim=self.model_cfg.butd_embed_dim
+            )
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.save(cache, mat)
+        p = _to_mutable(np_params(self.params))
+        emb = p["w_emb"]["embedding"]
+        if emb.shape != mat.shape:
+            print(
+                f"WARNING: GloVe matrix {mat.shape} does not match the "
+                f"BUTD embedding {emb.shape}; keeping random init"
+            )
+            return
+        p["w_emb"]["embedding"] = mat.astype(emb.dtype)
+        self.params = shard_params(self.mesh, p)
 
     def _encode(self, ds: GQADataset) -> EncodedGQA:
         image2caps = None
@@ -556,6 +610,21 @@ class GQARunner(ScoringMixin):
 
         if image2caps:
             return overlap_similarity
+        # No CLIP checkpoint and no captions: the strategy degrades to a
+        # plain RP run (all-zero similarity -> uniform weights).  That is
+        # NOT what --strategy weight promises, so be loud about it
+        # (reference gqa_weight.py always has CLIP; this env may not).
+        import warnings
+
+        warnings.warn(
+            "--strategy weight: no CLIP checkpoint (--clip_path) and no "
+            f"{caps_path} found - negative-pair weights fall back to "
+            "UNIFORM, making this a plain RP run. Provide a local CLIP "
+            "checkpoint or an image2caps.json for real similarity "
+            "weighting.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return lambda a, n: np.zeros(len(a), np.float32)  # uniform weights
 
     def train_minmax(self) -> dict:

@@ -345,10 +345,18 @@ class VQARunner:
     def predict(self, split: str, dump: Optional[str] = None) -> dict:
         encoded = self.encoded(split)
 
-        @jax.jit
-        def infer(params, batch):
-            out = self.forward(params, batch, deterministic=True)
-            return jnp.argmax(out["logits"].astype(jnp.float32), axis=-1)
+        # Built once per runner: chunked_map's compile cache is keyed by
+        # the step-fn object, so a per-call @jax.jit would recompile the
+        # chunked scan wrapper at every predict (each per-epoch valid).
+        infer = self.__dict__.get("_infer_step")
+        if infer is None:
+
+            @jax.jit
+            def infer(params, batch):
+                out = self.forward(params, batch, deterministic=True)
+                return jnp.argmax(out["logits"].astype(jnp.float32), axis=-1)
+
+            self._infer_step = infer
 
         quesid2ans: dict = {}
         bs = min(len(encoded), self.cfg.train.batch_size)

@@ -156,6 +156,100 @@ class TestGlove:
         np.testing.assert_allclose(m[3], 0.0)  # padding
 
 
+class TestButdPreprocessCache:
+    """Reference ``butd/preprocess.py:54-123`` caches the question
+    dictionary + GloVe matrix to ``data/butd/``; the rebuild must hit the
+    same cache instead of re-scanning every split JSON per process."""
+
+    @pytest.fixture()
+    def root(self, tmp_path):
+        from rgqa_tpu.data import SyntheticSpec, make_synthetic_gqa
+
+        root = str(tmp_path / "gqa")
+        make_synthetic_gqa(
+            root,
+            SyntheticSpec(n_images=8, n_train=16, n_valid=8, n_testdev=8),
+        )
+        return root
+
+    def _dummy(self, root):
+        from types import SimpleNamespace
+
+        from rgqa_tpu.config import DataConfig, RunConfig
+
+        cfg = RunConfig(data=DataConfig(data_root=root, synthetic=True))
+        return SimpleNamespace(cfg=cfg)
+
+    def test_dictionary_cache_hit(self, root):
+        import json
+        import os
+
+        from rgqa_tpu.runner import GQARunner
+
+        dummy = self._dummy(root)
+        words = GQARunner._butd_dictionary(dummy, root)
+        cache = os.path.join(root, "butd", "dictionary.json")
+        assert os.path.exists(cache)
+        # Mutate a split on disk: a cache HIT must ignore the new word.
+        with open(os.path.join(root, "train.json")) as f:
+            rows = json.load(f)
+        rows.append(dict(rows[0], sent="zzz_new_word here", question_id="q_zzz"))
+        with open(os.path.join(root, "train.json"), "w") as f:
+            json.dump(rows, f)
+        again = GQARunner._butd_dictionary(dummy, root)
+        assert again == words
+        assert "zzz_new_word" not in again
+        # A different split list changes the key -> rebuild sees the word.
+        import dataclasses
+
+        dummy.cfg = dummy.cfg.replace(
+            data=dataclasses.replace(dummy.cfg.data, test_splits="extra")
+        )
+        rebuilt = GQARunner._butd_dictionary(dummy, root)
+        assert "zzz_new_word" in rebuilt
+
+    def test_glove_init_and_cache(self, root, tmp_path):
+        import os
+
+        from rgqa_tpu.config import (
+            DataConfig,
+            ModelConfig,
+            RunConfig,
+            TrainConfig,
+        )
+        from rgqa_tpu.runner import GQARunner, np_params
+
+        dummy = self._dummy(root)
+        words = GQARunner._butd_dictionary(dummy, root)
+        first = next(iter(words))
+        dim = 4
+        os.makedirs(os.path.join(root, "butd"), exist_ok=True)
+        with open(os.path.join(root, "butd", "glove.6B.300d.txt"), "w") as f:
+            f.write(first + " " + " ".join(["0.625"] * dim) + "\n")
+
+        cfg = RunConfig(
+            model=ModelConfig(
+                backbone="butd", butd_embed_dim=dim, butd_hidden_dim=8,
+                max_text_len=12,
+            ),
+            train=TrainConfig(batch_size=4, epochs=1, use_bf16=False),
+            data=DataConfig(data_root=root, synthetic=True),
+            output=str(tmp_path / "snap_butd"),
+        )
+        runner = GQARunner(cfg, init_train=False)
+        emb = np_params(runner.params)["w_emb"]["embedding"]
+        np.testing.assert_allclose(emb[words[first]], 0.625)
+        npy = os.path.join(root, "butd", "glove.npy")
+        assert os.path.exists(npy)
+        # Overwrite the npy cache with a sentinel: a second construction
+        # must consume the cache, not rebuild from the txt.
+        sentinel = np.full((len(words) + 1, dim), -1.5, np.float32)
+        np.save(npy, sentinel)
+        runner2 = GQARunner(cfg, init_train=False)
+        emb2 = np_params(runner2.params)["w_emb"]["embedding"]
+        np.testing.assert_allclose(emb2[words[first]], -1.5)
+
+
 class TestPrepareData:
     def test_end_to_end(self, tmp_path):
         import sys

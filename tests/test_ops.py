@@ -66,6 +66,11 @@ class TestFusedAttentionKernel:
         assert _fit_block(16, 128, 165, 165, 768, 2, bwd=True) == 0
         # Tiny batches may use the full batch as the block (grid of 1).
         assert _fit_block(32, 2, 8, 8, 32, 2) == 2
+        # A batch that is neither a power of two nor a multiple of 8
+        # (b=12 at the 165-token stream: est(12) busts the budget) must
+        # still land on the Mosaic-lowerable block 8 rather than walking
+        # 12 -> 6 -> 3 -> 1 past it.
+        assert _fit_block(32, 12, 165, 165, 768, 2) == 8
 
     def test_batch_padding(self):
         # batch not a multiple of the kernel's batch block

@@ -260,6 +260,32 @@ class TestWeightStrategy:
         history = runner.train()
         assert np.isfinite(history["loss"][-1])
 
+    def test_uniform_fallback_warns(self, synth_root, tmp_path):
+        """No CLIP and no image2caps.json -> the weight strategy degrades
+        to uniform weights; that degradation must be LOUD (VERDICT r3
+        weak #5), not a silent plain-RP run claiming to be CLIP-weighted."""
+        import os
+
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=FULLSHAPE_ENC, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, strategy="weight",
+                optim=OptimConfig(lr=1e-3), use_bf16=False,
+            ),
+            data=DataConfig(data_root=synth_root, synthetic=True),
+            output=str(tmp_path / "snap_w_warn"),
+        )
+        runner = GQARunner(cfg, init_train=False)
+        caps = os.path.join(synth_root, "image2caps.json")
+        bak = caps + ".bak"
+        os.rename(caps, bak)
+        try:
+            with pytest.warns(RuntimeWarning, match="UNIFORM"):
+                sim = runner._weight_similarity()
+            assert np.allclose(sim(["q0", "q1"], ["q1", "q0"]), 0.0)
+        finally:
+            os.rename(bak, caps)
+
     def test_weighted_rp_step_semantics(self):
         from rgqa_tpu.train.step import make_train_step
 
