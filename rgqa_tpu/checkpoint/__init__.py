@@ -15,6 +15,8 @@ from rgqa_tpu.checkpoint.orbax_io import (
 from rgqa_tpu.checkpoint.torch_import import (
     assign_into_tree,
     butd_key_map,
+    clip_key_map,
+    import_clip,
     import_butd_gqa,
     import_lxmert_gqa,
     import_lxmert_pretraining,
@@ -37,6 +39,8 @@ __all__ = [
     "import_uniter_gqa",
     "import_butd_gqa",
     "butd_key_map",
+    "import_clip",
+    "clip_key_map",
     "import_lxmert_pretraining",
     "lxmert_pretrain_key_map",
     "load_lxmert_qa",

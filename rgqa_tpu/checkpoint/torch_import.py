@@ -27,9 +27,11 @@ __all__ = [
     "import_lxmert_gqa",
     "import_uniter_gqa",
     "import_vilt_gqa",
+    "import_clip",
     "lxmert_key_map",
     "uniter_key_map",
     "vilt_key_map",
+    "clip_key_map",
     "assign_into_tree",
 ]
 
@@ -491,6 +493,111 @@ def vilt_key_map(num_layers: int = 12) -> list[tuple[str, tuple, bool]]:
     m += _ln("vqa_classifier.1", ("answer_head", "ln"))
     m += _dense("vqa_classifier.3", ("answer_head", "logits"))
     return m
+
+
+def clip_key_map(
+    vision_layers: int = 12, text_layers: int = 12
+) -> list[tuple[str, tuple, bool]]:
+    """Key map for HF ``CLIPModel`` checkpoints
+    (``openai/clip-vit-base-patch32``; reference loads them in
+    ``src/tasks/gqa_clip.py:76-79`` / ``gqa_weight.py:80``).
+
+    The patch-embedding Conv2d weight (out, in, kh, kw) is pre-transposed
+    by :func:`import_clip` (marker ``#conv``); projections are bias-free.
+    """
+
+    def clip_layer(tprefix: str, fprefix: tuple) -> list:
+        m: list = []
+        m += _ln(f"{tprefix}.layer_norm1", fprefix + ("layer_norm1",))
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            m += _dense(f"{tprefix}.self_attn.{name}", fprefix + (name,))
+        m += _ln(f"{tprefix}.layer_norm2", fprefix + ("layer_norm2",))
+        m += _dense(f"{tprefix}.mlp.fc1", fprefix + ("fc1",))
+        m += _dense(f"{tprefix}.mlp.fc2", fprefix + ("fc2",))
+        return m
+
+    m: list = [("logit_scale", ("logit_scale",), False)]
+    # Text tower.
+    m.append(
+        ("text_model.embeddings.token_embedding.weight",
+         ("text_model", "token_embedding", "embedding"), False)
+    )
+    m.append(
+        ("text_model.embeddings.position_embedding.weight",
+         ("text_model", "position_embedding", "embedding"), False)
+    )
+    for i in range(text_layers):
+        m += clip_layer(
+            f"text_model.encoder.layers.{i}", ("text_model", f"layers_{i}")
+        )
+    m += _ln(
+        "text_model.final_layer_norm", ("text_model", "final_layer_norm")
+    )
+    m.append(
+        ("text_projection.weight", ("text_projection", "kernel"), True)
+    )
+    # Vision tower.
+    m.append(
+        ("vision_model.embeddings.class_embedding",
+         ("vision_model", "class_embedding"), False)
+    )
+    m.append(
+        ("vision_model.embeddings.patch_embedding.weight#conv",
+         ("vision_model", "patch_embedding", "kernel"), False)
+    )
+    m.append(
+        ("vision_model.embeddings.position_embedding.weight",
+         ("vision_model", "position_embedding", "embedding"), False)
+    )
+    # HF spells it "pre_layrnorm" (sic).
+    m += _ln("vision_model.pre_layrnorm", ("vision_model", "pre_layernorm"))
+    for i in range(vision_layers):
+        m += clip_layer(
+            f"vision_model.encoder.layers.{i}",
+            ("vision_model", f"layers_{i}"),
+        )
+    m += _ln(
+        "vision_model.post_layernorm", ("vision_model", "post_layernorm")
+    )
+    m.append(
+        ("visual_projection.weight", ("visual_projection", "kernel"), True)
+    )
+    return m
+
+
+def import_clip(
+    params: Any,
+    path: str,
+    *,
+    vision_layers: int = 12,
+    text_layers: int = 12,
+) -> tuple[Any, list[str], list[str]]:
+    """Import an HF ``CLIPModel`` ``.bin``/``.pth`` state_dict into
+    :class:`rgqa_tpu.models.clip.ClipModel` params.  ``path`` may be the
+    checkpoint file or an HF checkpoint dir (``pytorch_model.bin``)."""
+    import os
+
+    if os.path.isdir(path):
+        for name in ("pytorch_model.bin", "model.bin", "pytorch_model.pth"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no pytorch_model.bin under {path!r} (safetensors-only "
+                "checkpoints are not supported in this zero-egress env)"
+            )
+    sd = dict(load_torch_state_dict(path))
+    for key in list(sd):
+        if key.endswith("position_ids"):
+            sd.pop(key)  # non-parameter buffers
+        elif key == "vision_model.embeddings.patch_embedding.weight":
+            # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out).
+            sd[key + "#conv"] = sd.pop(key).transpose(2, 3, 1, 0)
+    return assign_into_tree(
+        params, sd, clip_key_map(vision_layers, text_layers)
+    )
 
 
 def import_vilt_gqa(

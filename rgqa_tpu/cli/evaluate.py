@@ -65,12 +65,12 @@ def main(argv=None):
             # (--clip_path) over <data_root>/images/<img_id>.jpg.
             from rgqa_tpu.scorers.clip import ClipScorer
 
-            if not ns.clip_path:
+            if not cfg.ood.clip_path:
                 raise SystemExit(
                     "--scorer clip needs --clip_path <local CLIP checkpoint "
                     "dir> (zero-egress: no hub downloads)"
                 )
-            scorer = ClipScorer(ns.clip_path)
+            scorer = ClipScorer(cfg.ood.clip_path)
             results = runner.clip_ood_evaluate(
                 encoded,
                 scorer.scores,

@@ -154,6 +154,10 @@ class OODConfig:
     ensemble_method: str = "mean"
     topk: int = 5
     mix_branched_score: bool = False
+    # Local HF CLIP checkpoint dir for the clip scorer and the weight
+    # strategy (reference hardcodes openai/clip-vit-base-patch32 hub
+    # downloads, gqa_clip.py:76 / gqa_weight.py:80; zero-egress here).
+    clip_path: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -428,6 +432,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             ensemble_method=ns.ensemble_method,
             topk=ns.topk,
             mix_branched_score=ns.mix_branched_score,
+            clip_path=ns.clip_path,
         ),
         data=DataConfig(
             data_root=ns.data_root,

@@ -17,6 +17,7 @@ from rgqa_tpu.models.uniter import UniterModel, UniterForGQA, uniter_box_transfo
 from rgqa_tpu.models.butd import ButdForGQA, tokenize_front_padded
 from rgqa_tpu.models.caps import CaptionMatcher
 from rgqa_tpu.models.vilt import ViltForGQA
+from rgqa_tpu.models.clip import ClipConfig, ClipModel
 
 __all__ = [
     "LxmertConfigLike",
@@ -30,4 +31,6 @@ __all__ = [
     "tokenize_front_padded",
     "CaptionMatcher",
     "ViltForGQA",
+    "ClipConfig",
+    "ClipModel",
 ]

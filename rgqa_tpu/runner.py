@@ -592,6 +592,9 @@ class GQARunner(ScoringMixin):
         (``gqa_weight.py``).  Prefers a local CLIP checkpoint + raw images;
         falls back to caption/question word overlap (captions stand in for
         the image content in image-free environments), else uniform."""
+        clip_sim = self._clip_weight_similarity()
+        if clip_sim is not None:
+            return clip_sim
         caps_path = os.path.join(self.cfg.data.data_root, "image2caps.json")
         image2caps = {}
         if os.path.exists(caps_path):
@@ -626,6 +629,57 @@ class GQARunner(ScoringMixin):
             stacklevel=2,
         )
         return lambda a, n: np.zeros(len(a), np.float32)  # uniform weights
+
+    def _clip_weight_similarity(self):
+        """CLIP anchor-image x negative-question similarity
+        (``gqa_weight.py:154-186``: normalized embedding inner product *
+        ``logit_scale.exp()``, softmaxed by the caller at
+        ``--temperature``).  Needs ``--clip_path`` and raw images under
+        ``<data_root>/images``; returns None when either is missing."""
+        clip_path = self.cfg.ood.clip_path
+        image_root = os.path.join(self.cfg.data.data_root, "images")
+        if not clip_path or not os.path.isdir(image_root):
+            return None
+        from PIL import Image
+
+        from rgqa_tpu.data.images import GQAImageSource
+        from rgqa_tpu.scorers.clip import ClipScorer
+
+        scorer = ClipScorer(
+            clip_path, batch_size=min(self.cfg.train.batch_size, 64)
+        )
+        source = GQAImageSource(image_root)
+        embed_cache: dict[str, np.ndarray] = {}
+
+        def similarity(anchor_qids, neg_qids):
+            img_ids = [
+                self.dataset.id2datum[q]["img_id"] for q in anchor_qids
+            ]
+            fresh = [i for i in dict.fromkeys(img_ids) if i not in embed_cache]
+            if fresh:
+                imgs = []
+                for img_id in fresh:
+                    with Image.open(source.path(img_id)) as im:
+                        imgs.append(im.convert("RGB"))
+                if scorer.backend == "jax":
+                    embs = scorer.image_embeds(imgs)
+                else:  # torch fallback: per-pair scores only
+                    embs = None
+                if embs is not None:
+                    for img_id, e in zip(fresh, embs):
+                        embed_cache[img_id] = e
+            sents = [self.dataset.id2datum[q]["sent"] for q in neg_qids]
+            if scorer.backend == "jax":
+                txt = scorer.text_embeds(sents)
+                img = np.stack([embed_cache[i] for i in img_ids])
+                return np.sum(img * txt, -1) * scorer.logit_scale
+            imgs = []
+            for img_id in img_ids:
+                with Image.open(source.path(img_id)) as im:
+                    imgs.append(im.convert("RGB"))
+            return scorer.weight_similarity(imgs, sents)
+
+        return similarity
 
     def train_minmax(self) -> dict:
         """Dual-loader min-max training: resampling / POEM / WOODS
