@@ -15,7 +15,9 @@ from rgqa_tpu.checkpoint.orbax_io import (
 from rgqa_tpu.checkpoint.torch_import import (
     assign_into_tree,
     butd_key_map,
+    bert_caps_key_map,
     clip_key_map,
+    import_bert_caps,
     import_clip,
     import_butd_gqa,
     import_lxmert_gqa,
@@ -41,6 +43,8 @@ __all__ = [
     "butd_key_map",
     "import_clip",
     "clip_key_map",
+    "import_bert_caps",
+    "bert_caps_key_map",
     "import_lxmert_pretraining",
     "lxmert_pretrain_key_map",
     "load_lxmert_qa",

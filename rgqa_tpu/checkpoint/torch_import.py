@@ -18,6 +18,7 @@ VisualFeatEncoder 491-517) and ``src/tasks/gqa_model.py:20-27``
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping
 
 import numpy as np
@@ -495,6 +496,69 @@ def vilt_key_map(num_layers: int = 12) -> list[tuple[str, tuple, bool]]:
     return m
 
 
+def bert_caps_key_map(
+    num_layers: int = 12, *, pooler: bool = True, match_head: bool = False
+) -> list[tuple[str, tuple, bool]]:
+    """Key map for a plain HF ``BertModel`` state_dict onto
+    :class:`rgqa_tpu.models.caps.CaptionMatcher` (the Q-C matcher's
+    ``BertModel.from_pretrained("bert-base-uncased")`` init,
+    ``src/caps/caps.py:17``).  ``match_head`` additionally maps a trained
+    GQABERT checkpoint's ``logit_fc`` head (``caps.py:23-28``)."""
+    m: list = []
+    m += _embeddings("embeddings", ("embeddings",))
+    for i in range(num_layers):
+        m += _bert_layer(f"encoder.layer.{i}", (f"layer_{i}",))
+    if pooler:
+        m += _dense("pooler.dense", ("pooler", "dense"))
+    if match_head:
+        m += _dense("logit_fc.0", ("match_head", "dense"))
+        m += _ln("logit_fc.2", ("match_head", "ln"))
+        m += _dense("logit_fc.3", ("match_head", "logits"))
+    return m
+
+
+def import_bert_caps(
+    params: Any, path: str, *, num_layers: int = 12
+) -> tuple[Any, list[str], list[str]]:
+    """Import an HF BERT (or a trained reference GQABERT) ``.pth``/
+    ``.bin`` into CaptionMatcher params.
+
+    Accepts three layouts: a bare ``BertModel`` state_dict
+    (``embeddings.* / encoder.layer.*``), a task model carrying a
+    ``bert.`` prefix (``BertForPreTraining`` and friends), and the
+    reference's trained matcher (``encoder.*`` BertModel inside GQABERT +
+    ``logit_fc.*`` head, ``caps.py:14-28``).  ``path`` may also be an HF
+    checkpoint dir containing ``pytorch_model.bin``."""
+    if os.path.isdir(path):
+        for name in ("pytorch_model.bin", "model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    sd = dict(load_torch_state_dict(path))
+    for key in list(sd):
+        if key.endswith("position_ids"):
+            sd.pop(key)  # buffer, not a parameter
+    if any(k.startswith("encoder.embeddings.") for k in sd):
+        prefix = "encoder."  # trained GQABERT (caps.py wraps BertModel)
+    elif any(k.startswith("bert.") for k in sd):
+        prefix = "bert."
+    else:
+        prefix = ""
+    has_head = any(k.startswith("logit_fc") for k in sd)
+    key_map = [
+        (
+            (("" if t.startswith("logit_fc") else prefix) + t),
+            f,
+            tr,
+        )
+        for t, f, tr in bert_caps_key_map(
+            num_layers, match_head=has_head
+        )
+    ]
+    return assign_into_tree(params, sd, key_map)
+
+
 def clip_key_map(
     vision_layers: int = 12, text_layers: int = 12
 ) -> list[tuple[str, tuple, bool]]:
@@ -575,8 +639,6 @@ def import_clip(
     """Import an HF ``CLIPModel`` ``.bin``/``.pth`` state_dict into
     :class:`rgqa_tpu.models.clip.ClipModel` params.  ``path`` may be the
     checkpoint file or an HF checkpoint dir (``pytorch_model.bin``)."""
-    import os
-
     if os.path.isdir(path):
         for name in ("pytorch_model.bin", "model.bin", "pytorch_model.pth"):
             cand = os.path.join(path, name)

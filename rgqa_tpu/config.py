@@ -212,6 +212,9 @@ class RunConfig:
     load_lxmert: Optional[str] = None
     load_lxmert_qa: Optional[str] = None
     load_gqa: Optional[str] = None
+    # Local HF bert-base-uncased ckpt for the caption matcher's init
+    # (reference BertModel.from_pretrained, caps.py:17).
+    load_bert: Optional[str] = None
     teacher_path: Optional[str] = None
     from_scratch: bool = False
 
@@ -332,6 +335,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loadLXMERT", dest="load_lxmert", default=None)
     p.add_argument("--loadLXMERTQA", dest="load_lxmert_qa", default=None)
     p.add_argument("--load_gqa", default=None)
+    p.add_argument("--load_bert", default=None, help="local HF BERT ckpt (dir or .bin) to init the caption matcher (caps.py:17)")
     p.add_argument("--ans_backbone", default=None, help="answer-model backbone for gated (separate/caption) eval")
     p.add_argument("--clip_path", default=None, help="local CLIP checkpoint dir for --scorer clip / --strategy weight")
     p.add_argument("--teacher_path", default=None)
@@ -454,6 +458,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
         load_lxmert=ns.load_lxmert,
         load_lxmert_qa=ns.load_lxmert_qa,
         load_gqa=ns.load_gqa,
+        load_bert=ns.load_bert,
         teacher_path=ns.teacher_path,
         from_scratch=ns.from_scratch,
     )

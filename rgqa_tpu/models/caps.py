@@ -1,9 +1,18 @@
 """Caption-question matcher (the Q-C rejection scorer's model).
 
 Rebuild of ``src/caps/caps.py:14-65``: a text-only BERT over the pair
-``[CLS] caption [SEP] question [SEP]`` whose pooled CLS feeds a single
-match logit.  The reference wraps HF ``BertModel``; here it's the shared
-transformer blocks — the same encoder code path as LXMERT/UNITER.
+``[CLS] caption [SEP] question [SEP]``.  The reference wraps HF
+``BertModel`` and feeds the **raw CLS hidden state** (not the tanh pooler
+output, ``caps.py:58-64``) through a 2-layer GELU/LayerNorm head
+(``logit_fc``, ``caps.py:23-28``) to one match logit.  Here the encoder
+is the shared transformer blocks — the same code path as LXMERT/UNITER —
+with the same head structure; the (otherwise unused) BERT pooler is kept
+so pretrained checkpoints import completely and the Mahalanobis scorer
+has its pooled feature.
+
+Initialize from a local ``bert-base-uncased`` state_dict via
+``checkpoint.import_bert_caps`` (the reference's
+``BertModel.from_pretrained``, ``caps.py:17``).
 """
 
 from __future__ import annotations
@@ -16,13 +25,35 @@ from flax import linen as nn
 from rgqa_tpu.config import EncoderConfig
 from rgqa_tpu.models.transformer import (
     EncoderLayer,
+    LayerNorm,
     Pooler,
     TextEmbeddings,
     dense_init,
+    gelu,
     mask_to_bias,
 )
 
 __all__ = ["CaptionMatcher"]
+
+
+class MatchHead(nn.Module):
+    """Reference ``logit_fc``: Linear(h, 2h) -> GeLU -> BertLayerNorm ->
+    Linear(2h, 1) over the CLS hidden (``caps.py:23-28``)."""
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cls_hidden):
+        h = nn.Dense(
+            self.hidden_size * 2, kernel_init=dense_init, name="dense",
+            dtype=self.dtype,
+        )(cls_hidden)
+        h = gelu(h)
+        h = LayerNorm(eps=1e-12, name="ln")(h)
+        return nn.Dense(
+            1, kernel_init=dense_init, name="logits", dtype=self.dtype
+        )(h)
 
 
 class CaptionMatcher(nn.Module):
@@ -39,9 +70,7 @@ class CaptionMatcher(nn.Module):
             for i in range(c.num_layers)
         ]
         self.pooler = Pooler(c, self.dtype)
-        self.match_head = nn.Dense(
-            1, kernel_init=dense_init, name="match_head", dtype=self.dtype
-        )
+        self.match_head = MatchHead(c.hidden_size, self.dtype)
 
     def __call__(
         self,
@@ -60,8 +89,11 @@ class CaptionMatcher(nn.Module):
             x, _ = layer(
                 x, bias=bias, deterministic=deterministic, use_fused=use_fused
             )
-        pooled = self.pooler(x)
-        return {"logits": self.match_head(pooled)[:, 0], "pooled": pooled}
+        # Head input is the raw CLS hidden, the reference's
+        # last_hidden_state[:, 0] (caps.py:58-64); "pooled" stays the
+        # BERT tanh pooler output (scorer feature space).
+        logits = self.match_head(x[:, 0])[:, 0]
+        return {"logits": logits, "pooled": self.pooler(x)}
 
     def match_prob(self, input_ids, input_mask, segment_ids, **kw):
         out = self(input_ids, input_mask, segment_ids, **kw)

@@ -342,6 +342,18 @@ class GQARunner(ScoringMixin):
             )
             print(f"Loaded UNITER encoder ({len(missing)} keys left at init)")
             self.params = shard_params(self.mesh, self.params)
+        elif cfg.load_bert and cfg.model.backbone == "caps":
+            # Pretrained-BERT init for the Q-C matcher (the reference's
+            # BertModel.from_pretrained starting point, caps.py:17); the
+            # match head stays at its random init like logit_fc.
+            from rgqa_tpu.checkpoint import import_bert_caps
+
+            self.params, missing, _ = import_bert_caps(
+                np_params(self.params), cfg.load_bert,
+                num_layers=enc.num_layers,
+            )
+            print(f"Loaded BERT encoder ({len(missing)} keys left at init)")
+            self.params = shard_params(self.mesh, self.params)
 
     # ------------------------------------------------------------------
     # Training (gqa_conf.py:140-243)
@@ -794,6 +806,13 @@ class GQARunner(ScoringMixin):
 
                 self.params, missing, unused = import_butd_gqa(
                     np_params(self.params), path
+                )
+            elif self.model_cfg.backbone == "caps":
+                from rgqa_tpu.checkpoint import import_bert_caps
+
+                self.params, missing, unused = import_bert_caps(
+                    np_params(self.params), path,
+                    num_layers=enc.num_layers,
                 )
             else:
                 raise ValueError(
