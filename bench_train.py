@@ -102,6 +102,52 @@ def pretrain_main():
 
         return jax.lax.scan(body, state, jnp.arange(n), length=n)
 
+    # RGQA_BENCH_CHUNK: measure the REAL trainer dispatch structure
+    # instead of the chained scan — per-step dispatch (CHUNK=1, one
+    # synchronous tunnel round trip per optimizer step) or the
+    # --train_chunk grouped dispatch (CHUNK=K, one per K steps), exactly
+    # the loop pretrain/trainer.py runs.  The chained-scan default below
+    # is the dispatch-free device bound.
+    chunk_env = os.environ.get("RGQA_BENCH_CHUNK")
+    if chunk_env:
+        chunk = max(1, int(chunk_env))
+        from rgqa_tpu.train import make_chunked_train_step
+
+        chunk_run = make_chunked_train_step(step) if chunk > 1 else None
+        iters = max(iters, chunk) // chunk * chunk
+
+        def run_loop(state, key):
+            for i in range(0, iters, chunk):
+                if chunk > 1:
+                    state, key, auxs = chunk_run(
+                        state, (batch,) * chunk, key
+                    )
+                else:
+                    key, sub = jax.random.split(key)
+                    state, auxs = step(state, batch, sub)
+            # host transfer = the only real sync on axon
+            return state, float(np.asarray(auxs["mask_lm"]).reshape(-1)[-1])
+
+        state, _ = run_loop(state, jax.random.PRNGKey(1))  # compile
+        start = time.perf_counter()
+        state, last = run_loop(state, jax.random.PRNGKey(2))
+        elapsed = time.perf_counter() - start
+        assert np.isfinite(last)
+        print(
+            json.dumps(
+                {
+                    "unit": "examples/sec/chip",
+                    "mode": f"pretrain_dispatch_chunk{chunk}",
+                    "batch": batch_size,
+                    "examples_per_sec": round(
+                        batch_size * iters / elapsed, 1
+                    ),
+                    "step_ms": round(elapsed / iters * 1e3, 2),
+                }
+            )
+        )
+        return
+
     state, losses = train_n(state, batch, iters)
     np.asarray(losses)  # compile + warmup sync
     start = time.perf_counter()

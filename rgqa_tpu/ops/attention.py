@@ -16,6 +16,12 @@ no HBM round-trips.  Measured at the shipped block size 32:
 212/261/237 us for the same shapes — ~2x on self-attention, 3.4x on
 cross-attention (full table: docs/kernels.md).
 
+Long streams (ViLT's 165-185 tokens) on long grids exceed the VMEM
+budget at any full-sequence batch block; the forward then switches to a
+**query-tiled** grid (``_fused_qblocked_raw``: same kernel body, extra
+grid axis over query blocks — softmax per row block is already complete,
+so no online-softmax state is needed) instead of falling back to XLA.
+
 Autodiff: the kernel carries a ``jax.custom_vjp`` whose backward is a
 second Pallas kernel (recompute-based: dP = gV^T, dV = P^Tg,
 dS = P(dP - rowsum(dP*P)), dQ = scale*dS*K, dK = scale*dS^T*Q) in the
@@ -220,11 +226,52 @@ def _fused_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, num_heads, head_dim):
         o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
+def _fit_qblock(b: int, sq: int, skv: int, e: int,
+                itemsize: int) -> tuple[int, int]:
+    """(batch block, query block) for the query-tiled kernel, used when
+    no full-sequence batch block fits VMEM (long streams on long grids —
+    ViLT's 165-185-token streams at batch >= 192).
+
+    Tiling the QUERY dim needs no online-softmax state: each (bt, qt) row
+    block computes its complete softmax over the full skv, so the kernel
+    body is unchanged — only the grid grows a q axis.  K/V block indices
+    are constant across the q axis (the fast grid dim), so Mosaic keeps
+    them VMEM-resident per batch block.  Footprint model matches
+    :func:`_fit_block` (io + f32 score scratch, pipeline-deepening
+    doubling on long grids).  Returns (0, 0) when nothing fits.
+    """
+
+    def est(bt, qt, cells):
+        qt_p = -(-qt // 8) * 8
+        skv_p = -(-skv // 8) * 8
+        io = bt * e * itemsize * (2 * qt_p + 2 * skv_p)
+        scratch = bt * qt_p * skv_p * 4 * 3
+        if cells >= 17:
+            io *= 2
+        return io + scratch
+
+    for nsplit in (2, 3, 4, 6, 8):
+        qt = -(-(-(-sq // nsplit)) // 8) * 8  # ceil(sq/nsplit) -> mult of 8
+        if qt >= sq:
+            continue  # that's the full-seq path, already ruled out
+        nq = -(-sq // qt)
+        for bt in (32, 16, 8):
+            bt = min(bt, b)
+            if bt % 8 and bt != b:
+                continue
+            cells = -(-b // bt) * nq
+            if est(bt, qt, cells) <= _VMEM_BUDGET:
+                return bt, qt
+    return 0, 0
+
+
 def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
     bt = _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize)
+    if bt == 0:
+        return _fused_qblocked_raw(q, k, v, bias_kv, num_heads)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -254,6 +301,55 @@ def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
     )(q, k, v, bias_kv)
     if pad:
         out = out[:b]
+    return out
+
+
+def _fused_qblocked_raw(q, k, v, bias_kv, num_heads):
+    """Query-tiled forward: grid (batch blocks, q blocks), same kernel
+    body (softmax is complete per row block — no accumulator state)."""
+    b, sq, e = q.shape
+    skv = k.shape[1]
+    d = e // num_heads
+    bt, qt = _fit_qblock(b, sq, skv, e, q.dtype.itemsize)
+    assert bt > 0, "caller must check _fit_qblock before dispatching"
+    padb = (-b) % bt
+    padq = (-sq) % qt
+    if padb or padq:
+        q = jnp.pad(q, ((0, padb), (0, padq), (0, 0)))
+        k = jnp.pad(k, ((0, padb), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, padb), (0, 0), (0, 0)))
+        bias_kv = jnp.pad(bias_kv, ((0, padb), (0, 0)))
+    rows, sqp = q.shape[0], q.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, num_heads=num_heads, head_dim=d),
+        grid=(rows // bt, sqp // qt),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, qt, e), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, skv, e), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, skv, e), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, skv), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, qt, e), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, sqp, e), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * num_heads * sqp * skv * d * 2,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
+            transcendentals=rows * num_heads * sqp * skv,
+        ),
+        interpret=interpret_mode(),
+    )(q, k, v, bias_kv)
+    if padb or padq:
+        out = out[:b, :sq]
     return out
 
 
@@ -735,9 +831,13 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
     if force_xla or not pallas_enabled():
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     sq = q.shape[1]
-    if _fit_block(_BATCH_BLOCK, b, sq, skv, q.shape[-1], q.dtype.itemsize) == 0:
-        # No lowerable batch block fits VMEM at this shape (long streams
-        # on long grids) — the XLA path wins by default.
+    e = q.shape[-1]
+    if (
+        _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize) == 0
+        and _fit_qblock(b, sq, skv, e, q.dtype.itemsize)[0] == 0
+    ):
+        # Neither a full-sequence batch block nor a query-tiled grid fits
+        # VMEM at this shape — the XLA path wins by default.
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     return _fused(q, k, v, bias_kv, num_heads)
 

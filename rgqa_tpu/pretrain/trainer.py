@@ -250,10 +250,22 @@ class PretrainRunner:
         n_batches = len(self.train_set) // tcfg.batch_size
         tx = make_optimizer(tcfg.optim, max(n_batches * tcfg.epochs, 1))
         state = create_train_state(self.params, tx)
+        # --train_chunk K: scan K optimizer steps per device dispatch,
+        # exactly like the finetune loop (runner.py; measured 169.8 ->
+        # 89.6 ms/step there by amortizing the tunnel round trip).  The
+        # per-step key splits run INSIDE the chunk jit, so the key
+        # sequence — and the trajectory — is bitwise the per-step loop's
+        # (pinned in tests/test_pretrain.py).
+        chunk = max(1, int(getattr(tcfg, "train_chunk", 1)))
         step, eval_loss = make_pretrain_step(
             self.model, tx, tasks=self.tasks, mask_id=self.mask_id,
-            grad_clip=tcfg.optim.grad_clip,
+            grad_clip=tcfg.optim.grad_clip, donate=chunk == 1,
         )
+        chunk_run = None
+        if chunk > 1:
+            from rgqa_tpu.train import make_chunked_train_step
+
+            chunk_run = make_chunked_train_step(step)
 
         key = jax.random.PRNGKey(tcfg.seed)
         rng = np.random.default_rng(tcfg.seed)
@@ -262,9 +274,23 @@ class PretrainRunner:
 
         for epoch in range(tcfg.epochs):
             parts = {}
+            pend: list = []
             for batch in self._batches(
                 self.train_set, tcfg.batch_size, shuffle=True, rng=rng
             ):
+                if chunk > 1:
+                    pend.append(batch)
+                    if len(pend) < chunk:
+                        continue
+                    state, key, auxs = chunk_run(state, tuple(pend), key)
+                    parts = {k: v[-1] for k, v in auxs.items()}
+                    pend = []
+                    continue
+                key, sub = jax.random.split(key)
+                state, parts = step(state, batch, sub)
+            # Partial final group: per-step dispatch (padding a TRAIN
+            # group would apply spurious updates).
+            for batch in pend:
                 key, sub = jax.random.split(key)
                 state, parts = step(state, batch, sub)
             train_parts = {k: float(v) for k, v in parts.items()}

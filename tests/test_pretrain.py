@@ -242,3 +242,42 @@ class TestPretrainRunner:
         import os
 
         assert os.path.isdir(str(tmp_path / "snap" / "BEST_EVAL_LOSS"))
+
+    def test_train_chunk_trajectory_parity(self, tmp_path):
+        """--train_chunk K groups K pretrain steps per dispatch with the
+        per-step key splits folded INSIDE the chunk jit — the trajectory
+        must be bitwise the per-step loop's (same contract the finetune
+        loop pins in tests/test_runner.py)."""
+        import dataclasses
+
+        from rgqa_tpu.pretrain import PretrainRunner
+
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=1, x_layers=1, r_layers=1,
+            num_objects=36, visual_feat_dim=2048,
+        )
+        base = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=enc, max_text_len=12),
+            train=TrainConfig(
+                batch_size=16, epochs=1, optim=OptimConfig(lr=1e-3),
+                use_bf16=False,
+            ),
+            data=DataConfig(data_root=str(tmp_path / "gqa"), synthetic=True),
+            output=str(tmp_path / "snap1"),
+        )
+        h1 = PretrainRunner(base).train()
+        chunked = base.replace(
+            train=dataclasses.replace(base.train, train_chunk=2),
+            output=str(tmp_path / "snap2"),
+        )
+        h2 = PretrainRunner(chunked).train()
+        # Identical eval losses => identical parameter trajectories
+        # (eval uses a fixed rng and the same data order).
+        np.testing.assert_allclose(
+            h1["eval"], h2["eval"], rtol=1e-6, atol=1e-7
+        )
+        for k, v in h1["train"][0].items():
+            np.testing.assert_allclose(
+                v, h2["train"][0][k], rtol=1e-5, atol=1e-6
+            )
