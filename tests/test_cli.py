@@ -155,6 +155,32 @@ class TestCliPipeline:
             rows = json.load(f)
         assert {"questionId", "prediction", "confidence"} == set(rows[0])
 
+    def test_plot_attention_cli(self, tmp_path):
+        """dump_attention npz -> heatmap PNGs (the reference's
+        gqa_vis_att.ipynb surface as a CLI)."""
+        pytest.importorskip("matplotlib")
+        from rgqa_tpu.cli.plot_attention import main as plot_main
+
+        rng = np.random.default_rng(0)
+        d = tmp_path / "att"
+        d.mkdir()
+        for qid in ("q1", "q2"):
+            np.savez(
+                d / f"{qid}.npz",
+                lang2visn_0=rng.random((4, 5, 9), dtype=np.float32),
+                visn2lang_0=rng.random((4, 9, 5), dtype=np.float32),
+            )
+        written = plot_main([str(d), "--mean-heads"])
+        assert len(written) == 2
+        for png in written:
+            assert os.path.getsize(png) > 0
+        # Per-head single-layer variant.
+        written = plot_main(
+            [str(d), "--qids", "q1", "--direction", "lang2visn",
+             "--head", "2", "--out", str(tmp_path / "out2")]
+        )
+        assert len(written) == 1 and os.path.exists(written[0])
+
     def test_run_config_snapshot(self, roots):
         """Every runner writes the resolved config + git sha into the
         output dir (reference snapshots src/, run/gqa_conf_finetune.bash:6-8)."""
