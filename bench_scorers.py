@@ -286,5 +286,89 @@ def main():
     print(json.dumps(results))
 
 
+def clip_main():
+    """TPU-native CLIP two-tower throughput (``RGQA_BENCH_CLIP=1``).
+
+    Full ViT-B/32 shape (openai/clip-vit-base-patch32: 224px/50 patches
+    vision + 77-token text towers, cosine head), random weights —
+    throughput is weight-independent and no full checkpoint exists in
+    this zero-egress env.  Same chained-dispatch treatment as the rest:
+    iterations scanned inside one jit, single host fetch.  Reference
+    counterpart: ``src/tasks/gqa_clip.py:76-110`` runs the same towers
+    per (image, question) pair through host HF/torch.
+    """
+    from rgqa_tpu.models.clip import ClipConfig, ClipModel
+
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "64"))
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))
+    cfg = ClipConfig()
+    if os.environ.get("RGQA_BENCH_TINY"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        from rgqa_tpu.models.clip import ClipTowerConfig
+
+        cfg = ClipConfig(
+            vision=ClipTowerConfig(32, 2, 4, 64),
+            text=ClipTowerConfig(16, 2, 4, 32),
+            image_size=32, patch_size=16, vocab_size=64, max_text_len=8,
+            projection_dim=16,
+        )
+    use_bf16 = not os.environ.get("RGQA_BENCH_FP32")
+    model = ClipModel(cfg, dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 1, (batch_size, cfg.max_text_len)),
+        jnp.int32,
+    )
+    mask = jnp.ones((batch_size, cfg.max_text_len), jnp.int32)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (batch_size, cfg.image_size, cfg.image_size, 3)
+        ),
+        jnp.bfloat16 if use_bf16 else jnp.float32,
+    )
+    params = jax.device_put(
+        model.init(jax.random.PRNGKey(0), ids[:2], mask[:2], pixels[:2])[
+            "params"
+        ]
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def score_n(p, ids, mask, px, n):
+        def body(c, i):
+            # Fold i into the pixels so iterations can't be CSE'd away.
+            s = model.apply(
+                {"params": p}, ids, mask,
+                px + i.astype(px.dtype) * 0.0,
+                method=ClipModel.cosine,
+            )
+            return c + jnp.sum(s), jnp.max(s)
+
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n), length=n)
+
+    _, out = score_n(params, ids, mask, pixels, iters)
+    np.asarray(out)  # compile + sync
+    start = time.perf_counter()
+    _, out = score_n(params, ids, mask, pixels, iters)
+    np.asarray(out)
+    elapsed = time.perf_counter() - start
+    print(
+        json.dumps(
+            {
+                "unit": "pairs/sec/chip",
+                "mode": "clip_cosine",
+                "batch": batch_size,
+                "pairs_per_sec": round(batch_size * iters / elapsed, 1),
+                "step_ms": round(elapsed / iters * 1e3, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RGQA_BENCH_CLIP"):
+        clip_main()
+    else:
+        main()

@@ -67,6 +67,22 @@ def test_bench_pretrain_mode():
     assert out["examples_per_sec"] > 0 and out["step_ms"] > 0
 
 
+def test_bench_pretrain_chunk_mode():
+    out = _run(
+        "bench_train.py",
+        {"RGQA_BENCH_PRETRAIN": "1", "RGQA_BENCH_CHUNK": "2"},
+    )
+    assert out["mode"] == "pretrain_dispatch_chunk2"
+    assert out["examples_per_sec"] > 0
+
+
+def test_bench_clip_mode():
+    out = _run("bench_scorers.py", {"RGQA_BENCH_CLIP": "1"})
+    assert out["mode"] == "clip_cosine"
+    assert out["unit"] == "pairs/sec/chip"
+    assert out["pairs_per_sec"] > 0
+
+
 def test_bench_vilt_backbone():
     out = _run("bench.py", {"RGQA_BENCH_BACKBONE": "vilt"})
     assert out["metric"] == "vilt_gqa_inference_throughput"
