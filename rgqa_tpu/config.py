@@ -89,6 +89,9 @@ class OptimConfig:
     schedule: str = "warmup_linear"
     # BertAdam semantics: no bias correction (optimization.py:52+).
     bias_correction: bool = False
+    # Store Adam mu/nu in bf16 (halves optimizer-state HBM traffic; f32
+    # math).  Off by default: f32 moments are the reference trajectory.
+    bf16_moments: bool = False
 
 
 @dataclass(frozen=True)
@@ -276,6 +279,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "to the per-step loop); >1 for remote/tunneled chips",
     )
     p.add_argument("--optim", default="bert")
+    p.add_argument(
+        "--bf16_moments", action="store_true",
+        help="bf16 Adam moment buffers (halves optimizer-state HBM "
+        "traffic; f32 math; off = reference-parity f32 trajectory)",
+    )
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--dropout", type=float, default=0.1)
@@ -408,7 +416,9 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             adv_max_norm=ns.adv_max_norm,
             adv_kl_weight=ns.adv_kl_weight,
             adv_norm_type=ns.adv_norm_type,
-            optim=OptimConfig(name=ns.optim, lr=ns.lr),
+            optim=OptimConfig(
+                name=ns.optim, lr=ns.lr, bf16_moments=ns.bf16_moments
+            ),
             dropout=ns.dropout,
             loss="mce" if ns.mce_loss else "bce",
             sample_pair=ns.sample_pair,

@@ -80,10 +80,16 @@ def bert_adam(
     b2: float = 0.999,
     eps: float = 1e-6,
     weight_decay: float = 0.01,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """The reference BertAdam as an ``optax.GradientTransformation``.
 
     Emits *negative* updates (optax convention: ``params + updates``).
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores mu/nu in a reduced
+    dtype to halve the optimizer-state HBM traffic; the moment math still
+    runs in f32 (cast in, cast out).  Default ``None`` keeps the
+    reference-parity f32 trajectory (``--bf16_moments`` opts in).
     """
     sched_fn = SCHEDULES[schedule]
 
@@ -92,8 +98,11 @@ def bert_adam(
 
         # mu and nu must be *distinct* buffer trees (donation in the train
         # step rejects aliased inputs), and count a fresh scalar buffer.
-        mu = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
-        nu = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
+        def zeros(p):
+            return jnp.zeros(p.shape, moment_dtype or p.dtype)
+
+        mu = jax.tree_util.tree_map(zeros, params)
+        nu = jax.tree_util.tree_map(zeros, params)
         return BertAdamState(
             count=jax.device_put(np.zeros((), np.int32)), mu=mu, nu=nu
         )
@@ -101,12 +110,20 @@ def bert_adam(
     def update(grads, state, params=None):
         if params is None:
             raise ValueError("bert_adam requires params (weight decay)")
-        mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads
-        )
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads
-        )
+        out_dt = moment_dtype  # None -> keep the f32 math dtype
+
+        def new_mu(m, g):
+            m32 = m.astype(jnp.float32)
+            r = b1 * m32 + (1.0 - b1) * g
+            return r.astype(out_dt) if out_dt else r
+
+        def new_nu(v, g):
+            v32 = v.astype(jnp.float32)
+            r = b2 * v32 + (1.0 - b2) * g * g
+            return r.astype(out_dt) if out_dt else r
+
+        mu = jax.tree_util.tree_map(new_mu, state.mu, grads)
+        nu = jax.tree_util.tree_map(new_nu, state.nu, grads)
         if t_total > 0:
             progress = state.count.astype(jnp.float32) / t_total
             lr_t = lr * sched_fn(progress, warmup)
@@ -114,7 +131,9 @@ def bert_adam(
             lr_t = jnp.asarray(lr, jnp.float32)
 
         def step(m, v, p):
-            upd = m / (jnp.sqrt(v) + eps)
+            m32 = m.astype(jnp.float32)
+            v32 = v.astype(jnp.float32)
+            upd = m32 / (jnp.sqrt(v32) + eps)
             if weight_decay > 0.0:
                 upd = upd + weight_decay * p
             return (-lr_t * upd).astype(p.dtype)
@@ -142,6 +161,9 @@ def make_optimizer(
             t_total=t_total,
             schedule=cfg.schedule,
             weight_decay=cfg.weight_decay,
+            moment_dtype=jnp.bfloat16
+            if getattr(cfg, "bf16_moments", False)
+            else None,
         )
     if name == "adam":
         return optax.adam(cfg.lr)

@@ -94,6 +94,43 @@ class TestBertAdamParity:
         updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
         np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-12)
 
+    def test_bf16_moments_track_f32_trajectory(self):
+        """--bf16_moments: half-width mu/nu stay close to the f32 path.
+
+        The moments are EMAs (bounded relative error per step, no secular
+        accumulation), so a 40-step trajectory should deviate only at the
+        bf16 rounding level, not diverge.
+        """
+        rng = np.random.default_rng(1)
+        w0 = rng.standard_normal((16, 8)).astype(np.float32)
+        grads = [
+            rng.standard_normal((16, 8)).astype(np.float32) * 0.1
+            for _ in range(40)
+        ]
+
+        def run(moment_dtype):
+            tx = bert_adam(
+                1e-3, warmup=0.1, t_total=40, moment_dtype=moment_dtype
+            )
+            params = {"w": jnp.asarray(w0)}
+            state = tx.init(params)
+            for g in grads:
+                updates, state = tx.update(
+                    {"w": jnp.asarray(g)}, state, params
+                )
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+            return np.asarray(params["w"]), state
+
+        ref, _ = run(None)
+        got, state16 = run(jnp.bfloat16)
+        assert state16.mu["w"].dtype == jnp.bfloat16
+        assert state16.nu["w"].dtype == jnp.bfloat16
+        # 40 steps at lr<=1e-3: parameter drift stays bounded near the
+        # bf16 rounding scale (measured max ~5e-4 on O(1) params).
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-3)
+
 
 class TestLosses:
     def test_bce_matches_torch_semantics(self):
