@@ -114,6 +114,13 @@ def pretrain_main():
         from rgqa_tpu.train import make_chunked_train_step
 
         chunk_run = make_chunked_train_step(step) if chunk > 1 else None
+        # chunk=1 measures the real per-step trainer loop, which donates
+        # its state (trainer.py builds donate = chunk == 1); the
+        # donate=False `step` above exists for the scan-body modes.
+        step1, _ = (
+            make_pretrain_step(model, tx, donate=True) if chunk == 1
+            else (None, None)
+        )
         iters = max(iters, chunk) // chunk * chunk
 
         def run_loop(state, key):
@@ -124,7 +131,7 @@ def pretrain_main():
                     )
                 else:
                     key, sub = jax.random.split(key)
-                    state, auxs = step(state, batch, sub)
+                    state, auxs = step1(state, batch, sub)
             # host transfer = the only real sync on axon
             return state, float(np.asarray(auxs["mask_lm"]).reshape(-1)[-1])
 

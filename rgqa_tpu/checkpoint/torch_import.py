@@ -535,6 +535,11 @@ def import_bert_caps(
             if os.path.exists(cand):
                 path = cand
                 break
+        else:
+            raise FileNotFoundError(
+                f"no pytorch_model.bin/model.bin under {path!r} "
+                "(safetensors-only checkpoints are not supported here)"
+            )
     sd = dict(load_torch_state_dict(path))
     for key in list(sd):
         if key.endswith("position_ids"):

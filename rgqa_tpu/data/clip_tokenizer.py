@@ -67,9 +67,12 @@ try:
 except ImportError:  # pragma: no cover - regex ships with transformers
     import re as _re
 
+    # NOTE '_' is \w in plain re but belongs to the punctuation class
+    # [^\s\p{L}\p{N}] in the real pattern — keep it there explicitly,
+    # or 'img_1'-style strings drop the underscore.
     _PAT = _re.compile(
         r"""<\|startoftext\|>|<\|endoftext\|>"""
-        r"""|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+        r"""|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
         _re.IGNORECASE | _re.UNICODE,
     )
 

@@ -61,6 +61,8 @@ class ClipTowerConfig:
     num_layers: int = 12
     num_heads: int = 12
     intermediate_size: int = 3072
+    # HF CLIPConfig carries an independent eps per tower.
+    layer_norm_eps: float = 1e-5
 
 
 @dataclass(frozen=True)
@@ -84,7 +86,6 @@ class ClipConfig:
     # occurrence.  Both behaviors are implemented (modeling_clip.py:628-651).
     eos_token_id: int = 2
     projection_dim: int = 512
-    layer_norm_eps: float = 1e-5
     logit_scale_init: float = 2.6592
 
 
@@ -98,12 +99,14 @@ def clip_config_from_hf(config: dict) -> ClipConfig:
             num_layers=v.get("num_hidden_layers", 12),
             num_heads=v.get("num_attention_heads", 12),
             intermediate_size=v.get("intermediate_size", 3072),
+            layer_norm_eps=v.get("layer_norm_eps", 1e-5),
         ),
         text=ClipTowerConfig(
             hidden_size=t.get("hidden_size", 512),
             num_layers=t.get("num_hidden_layers", 12),
             num_heads=t.get("num_attention_heads", 8),
             intermediate_size=t.get("intermediate_size", 2048),
+            layer_norm_eps=t.get("layer_norm_eps", 1e-5),
         ),
         image_size=v.get("image_size", 224),
         patch_size=v.get("patch_size", 32),
@@ -111,7 +114,6 @@ def clip_config_from_hf(config: dict) -> ClipConfig:
         max_text_len=t.get("max_position_embeddings", 77),
         eos_token_id=t.get("eos_token_id", 2),
         projection_dim=config.get("projection_dim", 512),
-        layer_norm_eps=t.get("layer_norm_eps", 1e-5),
         logit_scale_init=config.get("logit_scale_init_value", 2.6592),
     )
 
@@ -212,15 +214,15 @@ class ClipVisionTower(nn.Module):
             n_patches + 1, c.vision.hidden_size, embedding_init=dense_init,
             name="position_embedding",
         )
-        self.pre_layernorm = ClipLayerNorm(eps=c.layer_norm_eps)
+        self.pre_layernorm = ClipLayerNorm(eps=c.vision.layer_norm_eps)
         self.layers = [
             ClipEncoderLayer(
-                c.vision, eps=c.layer_norm_eps, dtype=self.dtype,
+                c.vision, eps=c.vision.layer_norm_eps, dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(c.vision.num_layers)
         ]
-        self.post_layernorm = ClipLayerNorm(eps=c.layer_norm_eps)
+        self.post_layernorm = ClipLayerNorm(eps=c.vision.layer_norm_eps)
 
     def __call__(self, pixels):
         """``pixels``: (B, H, W, 3) float — channels-last (the scorer
@@ -260,12 +262,12 @@ class ClipTextTower(nn.Module):
         )
         self.layers = [
             ClipEncoderLayer(
-                c.text, eps=c.layer_norm_eps, dtype=self.dtype,
+                c.text, eps=c.text.layer_norm_eps, dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(c.text.num_layers)
         ]
-        self.final_layer_norm = ClipLayerNorm(eps=c.layer_norm_eps)
+        self.final_layer_norm = ClipLayerNorm(eps=c.text.layer_norm_eps)
 
     def __call__(self, input_ids, attention_mask=None):
         c = self.cfg

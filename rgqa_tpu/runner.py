@@ -18,6 +18,7 @@ Differences by design (SURVEY.md §7):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pickle
@@ -175,24 +176,28 @@ class GQARunner(ScoringMixin):
             if spec:
                 names.update(spec.split(","))
         key = sorted(names)
+        # The cache key includes which split files actually existed: a
+        # build that ran before some split JSON appeared must not pin its
+        # partial vocab forever (the new split's words would silently
+        # tokenize to the padding index).
+        found = [
+            n for n in key if os.path.exists(os.path.join(root, f"{n}.json"))
+        ]
         cache = os.path.join(root, "butd", "dictionary.json")
         if os.path.exists(cache):
             with open(cache) as f:
                 cached = json.load(f)
-            if cached.get("splits") == key:
+            if cached.get("splits") == key and cached.get("found", key) == found:
                 return dict(cached["words"])
         words: dict[str, int] = {}
-        for name in key:
-            path = os.path.join(root, f"{name}.json")
-            if not os.path.exists(path):
-                continue
-            with open(path) as f:
+        for name in found:
+            with open(os.path.join(root, f"{name}.json")) as f:
                 for row in json.load(f):
                     for tok in butd_split(row.get("sent", "")):
                         words.setdefault(tok, len(words))
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         with open(cache, "w") as f:
-            json.dump({"splits": key, "words": words}, f)
+            json.dump({"splits": key, "found": found, "words": words}, f)
         return words
 
     def _load_glove_embeddings(self, root: str) -> None:
@@ -208,19 +213,39 @@ class GQARunner(ScoringMixin):
         from rgqa_tpu.models.butd import build_glove_matrix
 
         cache = os.path.join(root, "butd", "glove.npy")
+        meta_path = cache + ".meta.json"
+        # Shape alone can't validate the cache: a different --glove file
+        # (or a reshuffled word->index mapping of equal size) would
+        # silently reuse stale vectors.  Fingerprint source + mapping.
+        st = os.stat(path)
+        meta = {
+            "glove_path": os.path.abspath(path),
+            "glove_mtime": st.st_mtime,
+            "glove_size": st.st_size,
+            "vocab_fprint": hashlib.md5(
+                json.dumps(sorted(self.butd_word2idx.items())).encode()
+            ).hexdigest(),
+            "dim": self.model_cfg.butd_embed_dim,
+        }
         mat = None
-        if os.path.exists(cache):
-            m = np.load(cache)
-            if m.shape == (
-                len(self.butd_word2idx) + 1, self.model_cfg.butd_embed_dim
-            ):
-                mat = m
+        if os.path.exists(cache) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                cached_meta = json.load(f)
+            if cached_meta == meta:
+                m = np.load(cache)
+                if m.shape == (
+                    len(self.butd_word2idx) + 1,
+                    self.model_cfg.butd_embed_dim,
+                ):
+                    mat = m
         if mat is None:
             mat = build_glove_matrix(
                 self.butd_word2idx, path, dim=self.model_cfg.butd_embed_dim
             )
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.save(cache, mat)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
         p = _to_mutable(np_params(self.params))
         emb = p["w_emb"]["embedding"]
         if emb.shape != mat.shape:
@@ -667,29 +692,26 @@ class GQARunner(ScoringMixin):
             img_ids = [
                 self.dataset.id2datum[q]["img_id"] for q in anchor_qids
             ]
+            sents = [self.dataset.id2datum[q]["sent"] for q in neg_qids]
+            if scorer.backend != "jax":
+                # torch fallback scores per pair; no embedding cache —
+                # decode each anchor image exactly once, here.
+                imgs = []
+                for img_id in img_ids:
+                    with Image.open(source.path(img_id)) as im:
+                        imgs.append(im.convert("RGB"))
+                return scorer.weight_similarity(imgs, sents)
             fresh = [i for i in dict.fromkeys(img_ids) if i not in embed_cache]
             if fresh:
                 imgs = []
                 for img_id in fresh:
                     with Image.open(source.path(img_id)) as im:
                         imgs.append(im.convert("RGB"))
-                if scorer.backend == "jax":
-                    embs = scorer.image_embeds(imgs)
-                else:  # torch fallback: per-pair scores only
-                    embs = None
-                if embs is not None:
-                    for img_id, e in zip(fresh, embs):
-                        embed_cache[img_id] = e
-            sents = [self.dataset.id2datum[q]["sent"] for q in neg_qids]
-            if scorer.backend == "jax":
-                txt = scorer.text_embeds(sents)
-                img = np.stack([embed_cache[i] for i in img_ids])
-                return np.sum(img * txt, -1) * scorer.logit_scale
-            imgs = []
-            for img_id in img_ids:
-                with Image.open(source.path(img_id)) as im:
-                    imgs.append(im.convert("RGB"))
-            return scorer.weight_similarity(imgs, sents)
+                for img_id, e in zip(fresh, scorer.image_embeds(imgs)):
+                    embed_cache[img_id] = e
+            txt = scorer.text_embeds(sents)
+            img = np.stack([embed_cache[i] for i in img_ids])
+            return np.sum(img * txt, -1) * scorer.logit_scale
 
         return similarity
 

@@ -248,6 +248,43 @@ class TestButdPreprocessCache:
         runner2 = GQARunner(cfg, init_train=False)
         emb2 = np_params(runner2.params)["w_emb"]["embedding"]
         np.testing.assert_allclose(emb2[words[first]], -1.5)
+        # A CHANGED GloVe txt must invalidate the cache (the meta
+        # fingerprint covers path/mtime/size): the sentinel is dropped
+        # and the new vectors load.
+        glove_txt = os.path.join(root, "butd", "glove.6B.300d.txt")
+        with open(glove_txt, "w") as f:
+            f.write(first + " " + " ".join(["0.875"] * dim) + "\n")
+        os.utime(glove_txt, (1, 1))  # force a distinct mtime
+        runner3 = GQARunner(cfg, init_train=False)
+        emb3 = np_params(runner3.params)["w_emb"]["embedding"]
+        np.testing.assert_allclose(emb3[words[first]], 0.875)
+
+    def test_dictionary_rebuilds_when_missing_split_appears(self, root):
+        import json
+        import os
+        import shutil
+
+        from rgqa_tpu.runner import GQARunner
+
+        dummy = self._dummy(root)
+        # Hide a configured split, build (partial vocab cached), then
+        # restore it: the cache key includes which files existed, so the
+        # next build must pick up the restored split's words.
+        valid = os.path.join(root, "valid.json")
+        hidden = os.path.join(root, "valid.json.hidden")
+        shutil.move(valid, hidden)
+        partial = GQARunner._butd_dictionary(dummy, root)
+        shutil.move(hidden, valid)
+        with open(valid) as f:
+            rows = json.load(f)
+        rows.append(
+            dict(rows[0], sent="qqq_fresh token", question_id="q_fresh")
+        )
+        with open(valid, "w") as f:
+            json.dump(rows, f)
+        rebuilt = GQARunner._butd_dictionary(dummy, root)
+        assert "qqq_fresh" in rebuilt
+        assert set(partial) <= set(rebuilt)
 
 
 class TestPrepareData:
