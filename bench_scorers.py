@@ -225,6 +225,29 @@ def main():
                     count += len(out["label"])
                 return count
 
+            # ... and the --feed_int8 transport (int8 feats + scales,
+            # in-jit dequant): the shipped wire-bound-link mode
+            # (docs/kernels.md "Feats-wire int8").  Grad-at-eval scorers
+            # exempt themselves exactly as _map_eval does.
+            from rgqa_tpu.data.batching import wrap_dequant
+
+            def run_pipelined_int8():
+                dq = wrap_dequant(score_fn)
+
+                def sel(b):
+                    out = dq(params, b)
+                    return {k: out[k] for k in keys if k in out}
+
+                count = 0
+                for _, out, real in pipelined_map(
+                    sel,
+                    device_prefetch(
+                        iter(host_batches), None, feed_int8=True
+                    ),
+                ):
+                    count += len(out["label"])
+                return count
+
             def run_sync():
                 count = 0
                 for _, b, real in device_prefetch(iter(host_batches), None):
@@ -253,12 +276,15 @@ def main():
                     count += len(out["label"])
                 return count
 
-            for mode, fn in (
+            modes = [
                 ("prod", run_pipelined),
                 ("sync", run_sync),
                 ("staged", run_staged),
                 ("staged_chunked", run_staged_chunked),
-            ):
+            ]
+            if not f32_inputs:
+                modes.insert(1, ("prod_int8", run_pipelined_int8))
+            for mode, fn in modes:
                 fn()  # warmup/compile
                 start = time.perf_counter()
                 count = fn()

@@ -188,6 +188,12 @@ class DataConfig:
     glove_path: Optional[str] = None
     synthetic: bool = False  # generate synthetic data (this environment
     # has no GQA download; see data/synthetic.py)
+    # Eval-only int8 feature transport (per-RoI scales, in-jit dequant):
+    # quarters the dominant host->device bytes on wire-bound links at a
+    # ~0.4%-per-element quantization cost (docs/kernels.md "Feats-wire
+    # int8" measured 2.0x production q/s).  Grad-at-eval scorers exempt
+    # themselves; training always feeds exact.
+    feed_int8: bool = False
 
 
 @dataclass(frozen=True)
@@ -268,6 +274,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numWorkers", dest="num_workers", type=int, default=0)
     # Training
     p.add_argument("--batchSize", dest="batch_size", type=int, default=32)
+    p.add_argument(
+        "--feed_int8", action="store_true",
+        help="eval-only int8 RoI-feature transport with in-jit dequant "
+        "(quarters the host->device bytes on wire-bound links; "
+        "grad-at-eval scorers stay exact)",
+    )
     p.add_argument(
         "--eval_chunk", type=int, default=1,
         help="eval batches per device dispatch (chunked_map); >1 for "
@@ -462,6 +474,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             glove_path=ns.glove_path,
             num_workers=ns.num_workers,
             synthetic=ns.synthetic,
+            feed_int8=ns.feed_int8,
         ),
         output=ns.output,
         load=ns.load,

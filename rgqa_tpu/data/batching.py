@@ -23,8 +23,11 @@ __all__ = [
     "batch_indices",
     "batch_iterator",
     "chunked_map",
+    "dequantize_feats",
     "device_prefetch",
     "pipelined_map",
+    "quantize_feats",
+    "wrap_dequant",
 ]
 
 
@@ -78,6 +81,76 @@ def batch_iterator(
 # as bf16 anyway): RoI features are 295 KB/question f32 — the dominant
 # host->device bytes by ~50x (docs/kernels.md, production-loop physics).
 _BF16_FEED_KEYS = ("feats", "pixels")
+
+
+def quantize_feats(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-RoI symmetric int8: ``q = round(f / s)``, ``s = maxabs/127``.
+
+    The transport form of the ``feed_int8`` eval feed (docs/kernels.md
+    "Feats-wire int8": 1.96-2.02x production q/s on a wire-bound link at
+    |dconf| <= ~2e-3).  Returns ``(q int8 (B, R, D), scale f32 (B, R))``.
+    """
+    maxabs = np.abs(feats).max(axis=-1, keepdims=True)
+    scale = (maxabs / 127.0 + 1e-12).astype(np.float32)
+    q = np.clip(np.rint(feats / scale), -127, 127).astype(np.int8)
+    return q, scale[..., 0]
+
+
+def dequantize_feats(batch: dict):
+    """In-jit inverse of :func:`quantize_feats`: rebuild ``feats`` from
+    ``feats_q``/``feats_scale`` (no-op for unquantized batches).
+
+    Dequantizes to f32 — the int8 x f32 product is exact there, and a
+    bf16 model casts on device anyway (XLA fuses the cast into the
+    consumer); emitting bf16 here would stack a second rounding on top
+    of the quantization for f32 models."""
+    if "feats_q" not in batch:
+        return batch
+    import jax.numpy as jnp
+
+    b = dict(batch)
+    q = b.pop("feats_q")
+    s = b.pop("feats_scale")
+    b["feats"] = q.astype(jnp.float32) * s[..., None]
+    return b
+
+
+_DEQUANT_WRAP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def wrap_dequant(step_fn):
+    """``step_fn(params, batch)`` -> the same over an int8-quantized batch,
+    dequantizing INSIDE one jit (eager dequant would add a dispatch per
+    batch — the exact overhead the int8 feed exists to remove).
+
+    Cached by ``step_fn`` identity: the wrapper's identity keys
+    ``chunked_map``'s compile cache, so a stable step fn keeps compiling
+    once per process with the feed on."""
+    import jax
+
+    try:
+        wrapped = _DEQUANT_WRAP_CACHE.get(step_fn)
+    except TypeError:
+        wrapped = None
+    if wrapped is None:
+        # Close over a weakref, not step_fn itself: a value that strongly
+        # references its WeakKeyDictionary key would be immortal.
+        try:
+            fn_ref = weakref.ref(step_fn)
+        except TypeError:
+            fn_ref = lambda step_fn=step_fn: step_fn  # noqa: E731
+
+        @jax.jit
+        def wrapped(params, batch):
+            fn = fn_ref()
+            assert fn is not None, "step_fn collected while in use"
+            return fn(params, dequantize_feats(batch))
+
+        try:
+            _DEQUANT_WRAP_CACHE[step_fn] = wrapped
+        except TypeError:
+            pass
+    return wrapped
 
 # Jitted scan wrappers for chunked_map, keyed (weakly) by step_fn and
 # then by (select, captures-mode); jax.jit's own executable cache
@@ -136,6 +209,7 @@ def device_prefetch(
     *,
     depth: int = 2,
     feed_bf16: bool = False,
+    feed_int8: bool = False,
 ) -> Iterator[tuple[list[str], Any, int]]:
     """Background-thread prefetch + device placement.
 
@@ -147,11 +221,24 @@ def device_prefetch(
     bfloat16 on host before transfer — numerically identical for a bf16
     model (which casts them on device anyway) at half the interconnect
     bytes.  Leave False for f32 models.
+
+    ``feed_int8`` instead ships RoI features as per-RoI int8 + f32 scales
+    (quarter the f32 bytes — for wire-bound links, docs/kernels.md
+    "Feats-wire int8"); the consuming step must dequantize in-jit
+    (:func:`wrap_dequant`).  Eval-only, opt-in (``--feed_int8``): the
+    ~0.4% per-element quantization error is NOT free for confidence
+    calibration, and grad-at-eval scorers are exempted by their caller.
     """
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     _END = object()
 
     def put(batch):
+        if feed_int8 and isinstance(
+            batch.get("feats"), np.ndarray
+        ) and batch["feats"].dtype == np.float32:
+            fq, fs = quantize_feats(batch["feats"])
+            batch = {k: v for k, v in batch.items() if k != "feats"}
+            batch["feats_q"], batch["feats_scale"] = fq, fs
         if feed_bf16:
             import ml_dtypes
 

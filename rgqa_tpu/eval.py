@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rgqa_tpu.data import EncodedGQA, batch_iterator, device_prefetch
-from rgqa_tpu.data.batching import chunked_map
+from rgqa_tpu.data.batching import chunked_map, wrap_dequant
 from rgqa_tpu.metrics import ClosedSetEvaluator, RGQAEvaluator, dump_predictions
 from rgqa_tpu.scorers import calibrate_tau, fit_estimator, make_scorer
 
@@ -64,6 +64,7 @@ class ScoringMixin:
         *,
         with_target: bool = False,
         feed_bf16: Optional[bool] = None,
+        feed_int8: bool = False,
     ):
         bs = self.cfg.train.batch_size
         if feed_bf16 is None:
@@ -78,6 +79,9 @@ class ScoringMixin:
             # Grad-at-eval scorers (needs_f32_inputs) opt out: their
             # ~1e-4 sign-gradient perturbations need off-lattice f32.
             feed_bf16=feed_bf16,
+            # --feed_int8 quarters the feats bytes for wire-bound links
+            # (dequantized in-jit by the wrapped step fn).
+            feed_int8=feed_int8,
         )
 
     def _map_eval(
@@ -106,12 +110,24 @@ class ScoringMixin:
         numpy outputs, real)``."""
         params = self.params if params is None else params
         feed_bf16 = None
-        if getattr(step_fn, "needs_f32_inputs", False):
+        f32_inputs = getattr(step_fn, "needs_f32_inputs", False)
+        if f32_inputs:
             feed_bf16 = False
+        # --feed_int8 (wire-bound links): ship feats as int8 + scales,
+        # dequantize inside the step's jit.  Grad-at-eval scorers are
+        # exempt — int8 is a far coarser lattice than the bf16 they
+        # already refuse.  wrap_dequant caches by step_fn identity, so
+        # the chunked-dispatch compile cache keeps working.
+        feed_int8 = bool(
+            getattr(self.cfg.data, "feed_int8", False) and not f32_inputs
+        )
+        if feed_int8:
+            step_fn = wrap_dequant(step_fn)
         return chunked_map(
             step_fn,
             self._iter_eval(
-                encoded, with_target=with_target, feed_bf16=feed_bf16
+                encoded, with_target=with_target, feed_bf16=feed_bf16,
+                feed_int8=feed_int8,
             ),
             chunk=getattr(self.cfg.train, "eval_chunk", 1),
             captures=params,

@@ -51,6 +51,7 @@ def test_bench_scorers_production_mode():
         },
     )
     assert out["msp_prod"] > 0 and out["msp_sync"] > 0
+    assert out["msp_prod_int8"] > 0  # --feed_int8 transport mode
     assert out["feed_bound"] > 0
 
 

@@ -9,6 +9,7 @@ reference CLI's contract).
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -139,6 +140,53 @@ class TestTrainLoop:
             ans2, s2 = chunked_scores[qid]
             assert ans2 == ans
             np.testing.assert_allclose(s2, s, rtol=1e-5)
+
+    def test_feed_int8_roundtrip_bound(self):
+        # quantize->dequantize error is bounded by half an int8 step of
+        # the per-RoI scale (s = maxabs/127).
+        from rgqa_tpu.data.batching import dequantize_feats, quantize_feats
+
+        rng = np.random.default_rng(3)
+        feats = (rng.standard_normal((4, 6, 32)) * 5).astype(np.float32)
+        q, s = quantize_feats(feats)
+        assert q.dtype == np.int8 and s.shape == (4, 6)
+        back = np.asarray(
+            dequantize_feats({"feats_q": jnp.asarray(q),
+                              "feats_scale": jnp.asarray(s)})["feats"]
+        )
+        np.testing.assert_allclose(back, feats, atol=(s.max() / 2) + 1e-6)
+        # Unquantized batches pass through untouched.
+        plain = {"feats": jnp.asarray(feats)}
+        assert dequantize_feats(plain) is plain
+
+    def test_feed_int8_scores_close(self, trained, synth_root):
+        # --feed_int8 is a transport knob for wire-bound links; on a
+        # trained model the scores must track the exact feed closely and
+        # the argmax answers must survive quantization.
+        import dataclasses
+
+        runner, _, _ = trained
+        ds = GQADataset(synth_root, "testdev", add_uq=True)
+        encoded = runner._encode(ds)
+        base = runner.score_split(encoded)
+        old_cfg = runner.cfg
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                data=dataclasses.replace(old_cfg.data, feed_int8=True),
+            )
+            q_scores = runner.score_split(encoded)
+        finally:
+            runner.cfg = old_cfg
+        assert q_scores.keys() == base.keys()
+        flips = sum(
+            q_scores[qid][0] != ans for qid, (ans, _) in base.items()
+        )
+        assert flips <= max(1, len(base) // 20), f"{flips}/{len(base)} flips"
+        drift = max(
+            abs(q_scores[qid][1] - s) for qid, (_, s) in base.items()
+        )
+        assert drift < 0.05, drift
 
     def test_ood_evaluate_and_dump_roundtrip(self, trained, synth_root):
         runner, _, out = trained
