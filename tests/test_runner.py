@@ -187,6 +187,23 @@ class TestTrainLoop:
             abs(q_scores[qid][1] - s) for qid, (_, s) in base.items()
         )
         assert drift < 0.05, drift
+        # Composition with --eval_chunk: wrap_dequant's wrapper identity
+        # keys chunked_map's compile cache, and the quantized batch dict
+        # (feats_q int8 + feats_scale) must stack/scan cleanly.
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                data=dataclasses.replace(old_cfg.data, feed_int8=True),
+                train=dataclasses.replace(old_cfg.train, eval_chunk=3),
+            )
+            chunked_q = runner.score_split(encoded)
+        finally:
+            runner.cfg = old_cfg
+        assert chunked_q.keys() == q_scores.keys()
+        for qid, (ans, s) in q_scores.items():
+            ans2, s2 = chunked_q[qid]
+            assert ans2 == ans
+            np.testing.assert_allclose(s2, s, rtol=1e-5)
 
     def test_ood_evaluate_and_dump_roundtrip(self, trained, synth_root):
         runner, _, out = trained
