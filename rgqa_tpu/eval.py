@@ -103,11 +103,13 @@ class ScoringMixin:
         ``params`` defaults to ``self.params`` and is threaded through as
         an explicit argument (NOT a closure) so the chunked dispatch can
         jit over it — a closed-over param pytree would be embedded in the
-        compile payload as constants.  ``step_fn`` passes through to
-        ``chunked_map`` UNWRAPPED: its object identity is the compile
-        cache key, so a stable step fn (e.g. one scorer reused across
-        serving waves) compiles once per process.  Yields ``(qids,
-        numpy outputs, real)``."""
+        compile payload as constants.  ``step_fn``'s object identity is
+        the compile cache key: it passes through to ``chunked_map``
+        unwrapped, except under ``--feed_int8`` where it is wrapped by
+        ``wrap_dequant`` — which memoizes per step fn, so a stable step
+        fn (e.g. one scorer reused across serving waves) still compiles
+        once per process either way.  Yields ``(qids, numpy outputs,
+        real)``."""
         params = self.params if params is None else params
         feed_bf16 = None
         f32_inputs = getattr(step_fn, "needs_f32_inputs", False)
@@ -116,10 +118,15 @@ class ScoringMixin:
         # --feed_int8 (wire-bound links): ship feats as int8 + scales,
         # dequantize inside the step's jit.  Grad-at-eval scorers are
         # exempt — int8 is a far coarser lattice than the bf16 they
-        # already refuse.  wrap_dequant caches by step_fn identity, so
-        # the chunked-dispatch compile cache keeps working.
+        # already refuse.  Training is exempt too (``_feed_exact``): the
+        # per-epoch validation picks the BEST checkpoint, and a quantized
+        # feed could flip near-tied epochs.  wrap_dequant caches by
+        # step_fn identity, so the chunked-dispatch compile cache keeps
+        # working.
         feed_int8 = bool(
-            getattr(self.cfg.data, "feed_int8", False) and not f32_inputs
+            getattr(self.cfg.data, "feed_int8", False)
+            and not f32_inputs
+            and not getattr(self, "_feed_exact", False)
         )
         if feed_int8:
             step_fn = wrap_dequant(step_fn)
@@ -480,6 +487,11 @@ class ScoringMixin:
                 out = self.eval_step(p, batch)
                 return {"pooled": out["pooled"], "target": batch["target"]}
 
+            # The maha scorer feeds exact f32 (needs_f32_inputs); the
+            # statistics it consumes must be fitted on the SAME feed, and
+            # the fitted estimator is pickled and reused by later runs —
+            # a bf16/int8-feed fit would poison every one of them.
+            pooled_step.needs_f32_inputs = True
             return pooled_step
 
         def batches():

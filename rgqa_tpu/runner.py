@@ -384,6 +384,26 @@ class GQARunner(ScoringMixin):
     # Training (gqa_conf.py:140-243)
     # ------------------------------------------------------------------
 
+    def _validate_exact(self):
+        """Per-epoch validation on the exact feed, regardless of
+        ``--feed_int8``: validation picks the BEST checkpoint, and a
+        quantized feed could flip near-tied epochs — the flag's contract
+        is transport-only on *eval links* (config.py ``feed_int8``)."""
+        if getattr(self.cfg.data, "feed_int8", False) and not getattr(
+            self, "_int8_train_noted", False
+        ):
+            self._int8_train_noted = True
+            print(
+                "--feed_int8 is eval-only transport: per-epoch validation "
+                "and BEST selection feed exact",
+                flush=True,
+            )
+        self._feed_exact = True
+        try:
+            return self.evaluate(self.valid_set)
+        finally:
+            self._feed_exact = False
+
     def train(self, resume: Optional[str] = None) -> dict:
         """Train per the configured strategy.
 
@@ -600,7 +620,7 @@ class GQARunner(ScoringMixin):
             log_str = f"\nEpoch {epoch}: Train Loss {last_loss:.2f} ({time.time() - epoch_start:.1f}s)\n"
             self.params = state.params
             if self.valid_set is not None:
-                valid = self.evaluate(self.valid_set)
+                valid = self._validate_exact()
                 history["valid"].append(valid)
                 if valid > best_valid:
                     best_valid = valid
@@ -775,7 +795,7 @@ class GQARunner(ScoringMixin):
             self.params = state.params
             log_str = f"\nEpoch {epoch}: Train Loss {float(last):.2f}\n"
             if self.valid_set is not None:
-                valid = self.evaluate(self.valid_set)
+                valid = self._validate_exact()
                 history["valid"].append(valid)
                 if valid > best_valid:
                     best_valid = valid

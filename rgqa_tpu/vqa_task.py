@@ -37,7 +37,12 @@ import numpy as np
 from rgqa_tpu.checkpoint import load_checkpoint, save_checkpoint, wait_for_saves
 from rgqa_tpu.config import RunConfig
 from rgqa_tpu.data import PackedFeatures, WordPieceTokenizer
-from rgqa_tpu.data.batching import batch_iterator, chunked_map, device_prefetch
+from rgqa_tpu.data.batching import (
+    batch_iterator,
+    chunked_map,
+    device_prefetch,
+    wrap_dequant,
+)
 from rgqa_tpu.data.dataset import EncodedGQA, GQADataset, build_targets
 from rgqa_tpu.data.tokenizer import load_vocab
 from rgqa_tpu.models.zoo import build_model, example_batch
@@ -212,7 +217,8 @@ class VQARunner:
         return VQAEvaluator(self.encoded(split).dataset)
 
     def _batches(self, encoded, batch_size, *, shuffle=False, rng=None,
-                 drop_last=False, with_target=True, feed_bf16=False):
+                 drop_last=False, with_target=True, feed_bf16=False,
+                 feed_int8=False):
         """Shared double-buffered feed (``data/batching.py``): host batch
         build + device_put run ``depth`` ahead of the dispatch front."""
         return device_prefetch(
@@ -222,6 +228,7 @@ class VQARunner:
             ),
             self.mesh,
             feed_bf16=feed_bf16,
+            feed_int8=feed_int8,
         )
 
     # ------------------------------------------------------------------
@@ -324,7 +331,13 @@ class VQARunner:
             history["train"].append(train_score)
             log_str = f"\nEpoch {epoch}: Train {train_score * 100.0:0.2f}\n"
             if valid_split:
-                valid_score = self.evaluate(valid_split)
+                # Validation always feeds exact (see GQARunner
+                # ._validate_exact): --feed_int8 is eval-only transport.
+                self._feed_exact = True
+                try:
+                    valid_score = self.evaluate(valid_split)
+                finally:
+                    self._feed_exact = False
                 history["valid"].append(valid_score)
                 if valid_score > best_valid:
                     best_valid = valid_score
@@ -360,13 +373,24 @@ class VQARunner:
 
         quesid2ans: dict = {}
         bs = min(len(encoded), self.cfg.train.batch_size)
+        # --feed_int8 applies here exactly as on the GQA eval surface
+        # (eval.ScoringMixin._map_eval): int8 feats transport, in-jit
+        # dequant via the identity-memoized wrap_dequant.  Training's
+        # per-epoch validation is exempt (_feed_exact) — BEST selection
+        # must not depend on the transport quantization.
+        feed_int8 = bool(
+            getattr(self.cfg.data, "feed_int8", False)
+            and not getattr(self, "_feed_exact", False)
+        )
+        step_fn = wrap_dequant(infer) if feed_int8 else infer
         # params as explicit captures (not a closure) so --eval_chunk's
         # grouped dispatch can jit over them; see eval.ScoringMixin.
         for qids, labels, real in chunked_map(
-            infer,
+            step_fn,
             self._batches(
                 encoded, bs, with_target=False,
                 feed_bf16=self.cfg.train.use_bf16,
+                feed_int8=feed_int8,
             ),
             chunk=getattr(self.cfg.train, "eval_chunk", 1),
             captures=self.params,

@@ -205,6 +205,60 @@ class TestTrainLoop:
             assert ans2 == ans
             np.testing.assert_allclose(s2, s, rtol=1e-5)
 
+    def test_feed_int8_exempts_maha_fit(self, trained):
+        # The Mahalanobis scorer feeds exact f32 (needs_f32_inputs), so
+        # the estimator it consumes must be FITTED on the exact feed too
+        # — and the fit result is pickled to <output>/sample_estimates.pkl
+        # and reused by later runs, so an int8-feed fit would poison every
+        # one of them.  With --feed_int8 on, the fit must be bit-identical
+        # to the exact-feed fit.
+        import dataclasses
+
+        runner, _, _ = trained
+        cache = os.path.join(runner.output, "sample_estimates.pkl")
+        if os.path.exists(cache):
+            os.remove(cache)
+        est_exact = runner.fit_maha_estimator()
+        os.remove(cache)
+        old_cfg = runner.cfg
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                data=dataclasses.replace(old_cfg.data, feed_int8=True),
+            )
+            est_q = runner.fit_maha_estimator()
+        finally:
+            runner.cfg = old_cfg
+        np.testing.assert_array_equal(
+            np.asarray(est_exact.class_mean), np.asarray(est_q.class_mean)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(est_exact.precision), np.asarray(est_q.precision)
+        )
+
+    def test_train_validation_feeds_exact(self, trained, capsys):
+        # --feed_int8 is eval-only transport: the per-epoch validation
+        # that picks the BEST checkpoint must run on the exact feed even
+        # when the flag is set (a quantized feed could flip near-tied
+        # epochs), and say so once.
+        import dataclasses
+
+        runner, _, _ = trained
+        base = runner.evaluate(runner.valid_set)
+        old_cfg = runner.cfg
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                data=dataclasses.replace(old_cfg.data, feed_int8=True),
+            )
+            runner._int8_train_noted = False
+            val = runner._validate_exact()
+        finally:
+            runner.cfg = old_cfg
+        assert val == base  # identical floats: same feed, same step fn
+        assert not getattr(runner, "_feed_exact", False)
+        assert "feed exact" in capsys.readouterr().out
+
     def test_ood_evaluate_and_dump_roundtrip(self, trained, synth_root):
         runner, _, out = trained
         ds = GQADataset(synth_root, "testdev", add_uq=True)

@@ -139,6 +139,40 @@ class TestVQARunner:
         preds = runner.predict("test")
         assert len(preds) == SPEC.n_testdev
 
+    def test_feed_int8_predict(self, trained, monkeypatch):
+        # --feed_int8 applies to the VQA eval surface exactly like the
+        # GQA one: int8 feats transport + in-jit dequant, exempted when
+        # training validation sets _feed_exact.
+        import dataclasses
+
+        import rgqa_tpu.vqa_task as vt
+
+        runner, _, _ = trained
+        base = runner.predict("minival")
+        calls = []
+        orig = vt.wrap_dequant
+        monkeypatch.setattr(
+            vt, "wrap_dequant", lambda fn: (calls.append(1), orig(fn))[1]
+        )
+        old_cfg = runner.cfg
+        try:
+            runner.cfg = dataclasses.replace(
+                old_cfg,
+                data=dataclasses.replace(old_cfg.data, feed_int8=True),
+            )
+            quant = runner.predict("minival")
+            # Training validation (_feed_exact) bypasses the quantized
+            # transport entirely.
+            runner._feed_exact = True
+            exact = runner.predict("minival")
+        finally:
+            runner._feed_exact = False
+            runner.cfg = old_cfg
+        assert len(calls) == 1  # the quantized pass really wrapped
+        assert exact == base
+        flips = sum(quant[k] != v for k, v in base.items())
+        assert flips <= max(1, len(base) // 20), f"{flips}/{len(base)}"
+
     def test_checkpoint_reload(self, trained, vqa_root, tmp_path):
         runner, history, out = trained
         cfg = _cfg(vqa_root, [
