@@ -56,11 +56,12 @@ def main():
 
     # 384 is the throughput/compile-time sweet spot over the tunnel:
     # 256 -> 10.6k q/s (~2 min wall), 384 -> 11.1k (~3.3 min),
-    # 512 -> 11.6k (~5.3 min; compile risk).  ViLT runs a 185-token
-    # single stream whose fused attention kernel only fits VMEM at
-    # batch <= 128 (docs/kernels.md); measured: 128 -> 3.5k q/s (fused)
-    # vs 192/256/384 -> ~2.7k (XLA fallback), so 128 is its optimum.
-    default_batch = "128" if backbone == "vilt" else "384"
+    # 512 -> 11.6k (~5.3 min; compile risk).  ViLT runs a 165-token
+    # single stream; since the raised-VMEM full-sequence tier
+    # (ops/attention.py, docs/kernels.md) its throughput scales with
+    # batch: 128 -> 3.59k, 256 -> 3.70k, 384 -> 3.76k q/s — same
+    # optimum batch as the other backbones.
+    default_batch = "384"
     batch_size = int(os.environ.get("RGQA_BENCH_BATCH", default_batch))
     host = example_batch(cfg, batch_size=batch_size, seed=0)
     if "feats" in host:

@@ -16,11 +16,15 @@ no HBM round-trips.  Measured at the shipped block size 32:
 212/261/237 us for the same shapes — ~2x on self-attention, 3.4x on
 cross-attention (full table: docs/kernels.md).
 
-Long streams (ViLT's 165-185 tokens) on long grids exceed the VMEM
-budget at any full-sequence batch block; the forward then switches to a
-**query-tiled** grid (``_fused_qblocked_raw``: same kernel body, extra
-grid axis over query blocks — softmax per row block is already complete,
-so no online-softmax state is needed) instead of falling back to XLA.
+Long streams (ViLT's 165-185 tokens) on long grids exceed the DEFAULT
+16 MiB scoped-VMEM cap at any full-sequence batch block; the forward
+then retries the full-sequence grid under a **raised 24 MiB scoped
+limit** (``CompilerParams(vmem_limit_bytes)`` — the cap is a compiler
+default, not hardware; measured 25-30% over query tiling at ViLT
+batch 256-384), and only past that switches to a **query-tiled** grid
+(``_fused_qblocked_raw``: same kernel body, extra grid axis over query
+blocks — softmax per row block is already complete, so no
+online-softmax state is needed) instead of falling back to XLA.
 
 Autodiff: the kernel carries a ``jax.custom_vjp`` whose backward is a
 second Pallas kernel (recompute-based: dP = gV^T, dV = P^Tg,
@@ -126,9 +130,24 @@ _BWD_BATCH_BLOCK = 16
 # per-grid-cell footprint fits, or fall back to XLA when none does.
 _VMEM_BUDGET = 15 * 2**20
 
+# Raised scoped-VMEM tier for long streams: Mosaic's 16 MiB cap is a
+# compiler default, not hardware (v5e has 128 MiB VMEM) —
+# ``CompilerParams(vmem_limit_bytes=...)`` raises it per kernel.  Keep the
+# raised limit as LOW as fits: the limit itself steers Mosaic's pipelining,
+# and higher caps measured slower at the same block (ViLT 165-tok b=384:
+# block 8 @24M 1917 us vs @64M 2107 us).  Measured (v5e, bf16, H=12,
+# E=768, S=165): full-seq block 8 @24M beats the query-tiled grid 25-30%
+# (b=256: 1416 vs 1836 us; b=384: 1917 vs 2426 us), while the short
+# LXMERT shapes got NOTHING from bigger raised-limit blocks (36x36 b384:
+# block 64 @32M 830 us vs shipped block 32 809 us) — so the raised tier
+# only engages when the default-budget fit fails.
+_RAISED_VMEM_LIMIT = 24 * 2**20
+_RAISED_VMEM_BUDGET = 23 * 2**20  # fit margin under the raised limit
+
 
 def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
-               itemsize: int, *, bwd: bool = False) -> int:
+               itemsize: int, *, bwd: bool = False,
+               budget: int = _VMEM_BUDGET) -> int:
     """Largest power-of-two block <= default whose VMEM footprint fits.
 
     Footprint per grid cell ~= the in/out tensor slices
@@ -189,7 +208,7 @@ def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
     if b < 8 and b not in cands:
         cands.append(b)
     for bt in cands:
-        if est(bt) <= _VMEM_BUDGET and (bt % 8 == 0 or bt == b):
+        if est(bt) <= budget and (bt % 8 == 0 or bt == b):
             return bt
     return 0
 
@@ -270,6 +289,22 @@ def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
     skv = k.shape[1]
     d = e // num_heads
     bt = _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize)
+    vmem_limit = None
+    if bt == 0:
+        # Raised-tier retry before abandoning the full-sequence grid:
+        # long streams whose deepened-pipeline footprint exceeds the
+        # default 16 MiB cap (ViLT 165-185 tok at batch >= 192) stay on
+        # the full-seq kernel with a 24 MiB scoped limit — measured
+        # 25-30% over the query-tiled fallback (docs/kernels.md).  Block
+        # default 8, not _BATCH_BLOCK: at every measured raised-tier
+        # point block 8 beat 16/32 (b=256: 1416 vs 1433/1718 us), the
+        # bigger blocks' extra VMEM pressure buying nothing.
+        bt = _fit_block(
+            8, b, sq, skv, e, q.dtype.itemsize,
+            budget=_RAISED_VMEM_BUDGET,
+        )
+        if bt:
+            vmem_limit = _RAISED_VMEM_LIMIT
     if bt == 0:
         return _fused_qblocked_raw(q, k, v, bias_kv, num_heads)
     pad = (-b) % bt
@@ -292,6 +327,11 @@ def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
             (bt, sq, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows, sq, e), q.dtype),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+            if vmem_limit and not interpret_mode()
+            else None
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * num_heads * sq * skv * d * 2,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,

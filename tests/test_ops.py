@@ -72,6 +72,40 @@ class TestFusedAttentionKernel:
         # 12 -> 6 -> 3 -> 1 past it.
         assert _fit_block(32, 12, 165, 165, 768, 2) == 8
 
+    def test_raised_vmem_tier_fit(self):
+        """Long streams that bust the default 16 MiB scoped-vmem cap stay
+        on the full-sequence kernel under the raised 24 MiB tier
+        (measured 25-30% over query tiling — docs/kernels.md)."""
+        from rgqa_tpu.ops.attention import _RAISED_VMEM_BUDGET, _fit_block
+
+        # ViLT bf16 at batch >= 192: default fit fails (deepened pipeline
+        # footprint 18.23 MB)...
+        assert _fit_block(32, 256, 165, 165, 768, 2) == 0
+        # ...but full-seq block 8 (the dispatch pins default=8 in the
+        # raised tier: measured best of {8,16,32} at every point) fits,
+        # at 165 AND 185 tokens, through batch 384.
+        for b, s in ((192, 165), (256, 165), (384, 165), (256, 185),
+                     (384, 185)):
+            assert _fit_block(
+                8, b, s, s, 768, 2, budget=_RAISED_VMEM_BUDGET
+            ) == 8, (b, s)
+
+    def test_raised_tier_dispatch_numerics(self):
+        """A shape that fails the default budget but fits the raised tier
+        must dispatch the full-sequence kernel (not q-tiled/XLA) and match
+        the XLA reference."""
+        from rgqa_tpu.ops import attention as A
+
+        b, s = 136, 384  # f32: est(8) ~20.4 MiB — between the two budgets
+        assert A._fit_block(32, b, s, s, E, 4) == 0
+        assert A._fit_block(
+            8, b, s, s, E, 4, budget=A._RAISED_VMEM_BUDGET
+        ) == 8
+        q, k, v, bias = _inputs(b=b, sq=s, skv=s)
+        ref = _attention_natural_xla(q, k, v, bias, H)
+        out = _fused_pallas_raw(q, k, v, bias, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
     def test_qblocked_matches_xla(self):
         """Query-tiled kernel (long streams where no full-seq batch block
         fits): numerics identical to the XLA reference, including batch
