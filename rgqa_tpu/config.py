@@ -104,6 +104,11 @@ class TrainConfig:
     # (dual pos/neg loaders), caption (Q-C matcher).
     strategy: str = "conf"
     lr_w: float = 0.1  # negative-weight SGD lr (gqa_resampling.py:140)
+    # Adversarial CLIP update for --strategy weight: the weight model is
+    # trained to MAXIMIZE the weighted negative loss (gqa_weight.py:228-238,
+    # optim_w = Adam(1e-5) on loss_w = -loss_neg).  Requires --clip_path
+    # and raw images under <data_root>/images.
+    update_weight_model: bool = False
     adv_steps: int = 3
     adv_lr_txt: float = 1e-3
     adv_lr_img: float = 1e-3
@@ -317,6 +322,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--strategy", default="conf")
     p.add_argument("--lr_w", type=float, default=0.1)
+    p.add_argument(
+        "--update_weight_model", action="store_true",
+        help="adversarially train the CLIP weight model during "
+        "--strategy weight (gqa_weight.py --update_weight_model)",
+    )
     p.add_argument("--adv_steps", type=int, default=3)
     p.add_argument("--adv_lr_txt", type=float, default=1e-3)
     p.add_argument("--adv_lr_img", type=float, default=1e-3)
@@ -424,6 +434,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             seed=ns.seed,
             strategy=ns.strategy,
             lr_w=ns.lr_w,
+            update_weight_model=ns.update_weight_model,
             adv_steps=ns.adv_steps,
             adv_lr_txt=ns.adv_lr_txt,
             adv_lr_img=ns.adv_lr_img,

@@ -420,6 +420,16 @@ class GQARunner(ScoringMixin):
                     "(dual-loader loop)", flush=True,
                 )
             return self.train_minmax()
+        if (
+            self.cfg.train.strategy == "weight"
+            and self.cfg.train.update_weight_model
+        ):
+            if getattr(self.cfg.train, "train_chunk", 1) > 1:
+                print(
+                    "--train_chunk ignored with --update_weight_model "
+                    "(joint model+CLIP step)", flush=True,
+                )
+            return self.train_weight_model(resume)
         cfg = self.cfg
         tcfg = cfg.train
         assert self.train_set is not None
@@ -641,6 +651,173 @@ class GQARunner(ScoringMixin):
                     pickle.dump(quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL)
 
         self.save("LAST", state)
+        wait_for_saves()
+        return history
+
+    def train_weight_model(self, resume: Optional[str] = None) -> dict:
+        """CLIP-weighted RP with an adversarially-trained weight model
+        (``gqa_weight.py --update_weight_model``): per step, negative-pair
+        weights come from the CURRENT CLIP params; the VQA model minimizes
+        ``0.5*(pos + weighted neg)`` while CLIP maximizes the weighted
+        negative loss (Adam lr 1e-5, clip 5.0 — ``gqa_weight.py:228-238``).
+
+        TPU-native: both towers' fwd+bwd and both optimizer updates run in
+        ONE jit (``make_weighted_clip_train_step``); anchor images are
+        CLIP-preprocessed and CLIP-tokenized in the prefetch thread, so the
+        JPEG decode overlaps device compute.  The updated CLIP params are
+        saved beside the model checkpoint (``clip_params/``) so a later
+        ``--strategy weight`` run can reuse them.
+        """
+        import optax
+
+        from rgqa_tpu.data.images import GQAImageSource
+        from rgqa_tpu.scorers.clip import ClipScorer, clip_preprocess
+        from rgqa_tpu.train import make_weighted_clip_train_step
+
+        cfg = self.cfg
+        tcfg = cfg.train
+        assert self.train_set is not None
+        clip_path = cfg.ood.clip_path
+        image_root = os.path.join(cfg.data.data_root, "images")
+        if not clip_path or not os.path.isdir(image_root):
+            raise RuntimeError(
+                "--update_weight_model needs --clip_path (local CLIP "
+                f"checkpoint) and raw images under {image_root} — the CLIP "
+                "towers are trained, so there is no overlap/uniform "
+                "fallback for this mode (gqa_weight.py:80-81)."
+            )
+        scorer = ClipScorer(
+            clip_path, backend="jax", batch_size=tcfg.batch_size,
+            use_bf16=tcfg.use_bf16,
+        )
+        clip_model, ccfg = scorer.model, scorer.cfg
+        from rgqa_tpu.models.clip import ClipModel
+
+        def clip_similarity(clip_params, ids, mask, pixels):
+            sim = clip_model.apply(
+                {"params": clip_params}, ids, mask, pixels,
+                method=ClipModel.cosine,
+            )
+            # Frozen scale copy (gqa_weight.py:82-83: .data.exp(), no grad).
+            scale = jnp.exp(
+                jax.lax.stop_gradient(
+                    clip_params["logit_scale"].astype(jnp.float32)
+                )
+            )
+            return sim * scale
+
+        n_batches = len(self.train_set) // tcfg.batch_size
+        t_total = max(n_batches * tcfg.epochs, 1)
+        state = create_train_state(self.params, make_optimizer(tcfg.optim, t_total))
+        # torch.optim.Adam defaults (param.py get_optimizer('adam'), lr 1e-5,
+        # weight_decay 0 — gqa_weight.py:105).
+        clip_state = create_train_state(scorer.params, optax.adam(1e-5))
+        if resume:
+            restored = load_checkpoint(self.output, resume, template=state)
+            state = state.replace(
+                step=restored["step"], params=restored["params"],
+                opt_state=restored["opt_state"],
+            )
+        step = make_weighted_clip_train_step(
+            self.forward,
+            clip_similarity,
+            temperature=cfg.ood.temperature,
+            grad_clip=tcfg.optim.grad_clip,
+        )
+
+        source = GQAImageSource(image_root)
+        from PIL import Image
+
+        def add_clip_inputs(it):
+            """Prefetch-thread batch augmentation: anchor pixels + anchor
+            CLIP tokens (negatives are formed in-jit by the neg_shift
+            roll, pairing each positive image with a rolled question)."""
+            for qids, batch, real in it:
+                sents = [self.dataset.id2datum[q]["sent"] for q in qids]
+                ids, mask = scorer.tokenizer.encode_batch(
+                    sents, ccfg.max_text_len
+                )
+                imgs = []
+                for q in qids:
+                    img_id = self.dataset.id2datum[q]["img_id"]
+                    with Image.open(source.path(img_id)) as im:
+                        imgs.append(clip_preprocess(im, ccfg.image_size))
+                batch = dict(
+                    batch,
+                    pixels=np.stack(imgs),
+                    clip_ids=ids,
+                    clip_mask=mask,
+                )
+                yield qids, batch, real
+
+        if tcfg.chart:
+            os.makedirs(os.path.join(self.output, "chart"), exist_ok=True)
+        rng = np.random.default_rng(tcfg.seed)
+        key = jax.random.PRNGKey(tcfg.seed)
+        best_valid = 0.0
+        history = {"loss": [], "valid": []}
+        for epoch in range(tcfg.epochs):
+            quesid2score = {}
+            last_loss = float("nan")
+            epoch_start = time.time()
+            it = device_prefetch(
+                add_clip_inputs(
+                    batch_iterator(
+                        self.train_set, tcfg.batch_size,
+                        shuffle=True, rng=rng, drop_last=True,
+                    )
+                ),
+                self.mesh,
+            )
+            for qids, batch, _ in it:
+                shift = int(rng.integers(1, len(qids)))
+                batch = dict(batch)
+                batch["neg_shift"] = jnp.asarray(shift, jnp.int32)
+                key, sub = jax.random.split(key)
+                state, clip_state, aux = step(state, clip_state, batch, sub)
+                if tcfg.chart:
+                    scores = np.asarray(aux["score"])
+                    labels = np.asarray(aux["label"])
+                    for qid, s, l in zip(qids, scores, labels):
+                        datum = self.dataset.id2datum[qid]
+                        quesid2score[qid] = (
+                            float(s), datum.get("label"),
+                            self.label2ans[int(l)],
+                        )
+                last_loss = aux["loss"]
+            last_loss = float(last_loss)
+            history["loss"].append(last_loss)
+
+            log_str = (
+                f"\nEpoch {epoch}: Train Loss {last_loss:.2f} "
+                f"({time.time() - epoch_start:.1f}s)\n"
+            )
+            self.params = state.params
+            if self.valid_set is not None:
+                valid = self._validate_exact()
+                history["valid"].append(valid)
+                if valid > best_valid:
+                    best_valid = valid
+                    self.save("BEST", state, async_save=True)
+                log_str += (
+                    f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
+                    f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
+                )
+            if tcfg.save_all:
+                self.save(f"EPOCH_{epoch}", state, async_save=True)
+            print(log_str, end="", flush=True)
+            with open(os.path.join(self.output, "log.log"), "a") as f:
+                f.write(log_str)
+            if tcfg.chart:
+                with open(
+                    os.path.join(self.output, "chart", f"epoch_{epoch}.pkl"),
+                    "wb",
+                ) as f:
+                    pickle.dump(
+                        quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL
+                    )
+        self.save("LAST", state)
+        save_checkpoint(self.output, "clip_params", clip_state.params)
         wait_for_saves()
         return history
 

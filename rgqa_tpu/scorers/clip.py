@@ -138,6 +138,7 @@ class ClipScorer:
         )
         if missing:
             raise ValueError(f"CLIP checkpoint missing keys: {missing[:5]}")
+        self.model = model  # the flax module (train_weight_model re-applies it)
         self.params = jax.device_put(params)
         self._apply = jax.jit(
             lambda p, ids, mask, px: model.apply(

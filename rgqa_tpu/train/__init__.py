@@ -24,6 +24,7 @@ from rgqa_tpu.train.step import (
     make_chunked_train_step,
     make_eval_step,
     make_train_step,
+    make_weighted_clip_train_step,
 )
 
 __all__ = [
@@ -41,4 +42,5 @@ __all__ = [
     "make_train_step",
     "make_chunked_train_step",
     "make_eval_step",
+    "make_weighted_clip_train_step",
 ]

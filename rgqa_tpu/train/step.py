@@ -31,6 +31,7 @@ from rgqa_tpu.train.state import TrainState
 
 __all__ = [
     "make_train_step",
+    "make_weighted_clip_train_step",
     "make_eval_step",
     "global_norm_clip",
     "rp_augment",
@@ -438,6 +439,108 @@ def make_train_step(
         return state.apply_gradients(grads), aux
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_weighted_clip_train_step(
+    forward: Callable,
+    clip_similarity: Callable,
+    *,
+    temperature: float = 1.0,
+    grad_clip: float = 5.0,
+    clip_grad_clip: float = 5.0,
+    donate: bool = True,
+):
+    """Joint min-max step for ``--strategy weight --update_weight_model``
+    (``gqa_weight.py:125-238``): the VQA model minimizes
+    ``0.5 * (pos BCE + CLIP-weighted negative BCE)`` while the CLIP weight
+    model is trained to MAXIMIZE the weighted negative loss
+    (``loss_w = -loss_neg``, Adam lr 1e-5, both grads clipped by norm 5.0).
+
+    TPU-native formulation: instead of the reference's two backward passes
+    (``loss.backward(retain_graph=True)`` then ``loss_w.backward()``), one
+    ``jax.grad`` over a sum of the two objectives with cross-terms
+    ``stop_gradient``-ed — exact because the negative-pair weights depend
+    only on CLIP params and the per-row losses only on model params, so
+    each objective's gradient w.r.t. the *other* param set is zero.  The
+    whole min-max (both towers' fwd+bwd, both optimizer updates) runs in a
+    single jit dispatch.
+
+    ``clip_similarity(clip_params, ids, mask, pixels) -> (B,)`` must return
+    the logit_scale-scaled similarity (``gqa_weight.py:184-186``; the scale
+    is a frozen copy per ``gqa_weight.py:82-83`` — fold the stop_gradient
+    inside).  The batch carries ``pixels`` (anchor images, CLIP-preprocessed)
+    and ``clip_ids``/``clip_mask`` (anchor questions, CLIP-tokenized);
+    negatives reuse the model path's ``neg_shift`` roll so the CLIP pair
+    (pos image, rolled question) is exactly the model's negative pair.
+
+    Returns ``step(state, clip_state, batch, rng) -> (state, clip_state,
+    aux)``.
+    """
+
+    def joint_loss(params, clip_params, batch, rng):
+        r1, r2 = (
+            jax.random.wrap_key_data(
+                jax.random.bits(r, (4,), jnp.uint32), impl="rbg"
+            )
+            for r in jax.random.split(rng)
+        )
+        shift = batch["neg_shift"]
+        # Negative-pair weights from the CURRENT CLIP params: positive
+        # images x rolled (negative) questions, softmax over the batch at
+        # --temperature (gqa_weight.py:154-186).
+        sim = clip_similarity(
+            clip_params,
+            jnp.roll(batch["clip_ids"], shift, axis=0),
+            jnp.roll(batch["clip_mask"], shift, axis=0),
+            batch["pixels"],
+        ).astype(jnp.float32)
+        w = jax.nn.softmax(sim / temperature)
+
+        out_pos = forward(params, batch, deterministic=False, rng=r1)
+        lp = out_pos["logits"].astype(jnp.float32)
+        k = lp.shape[-1]
+        loss_pos = jnp.mean(optax_sigmoid_bce(lp, batch["target"])) * k
+
+        neg = dict(batch)
+        for key in ("input_ids", "input_mask", "segment_ids", "token_ids"):
+            if key in batch:
+                neg[key] = jnp.roll(batch[key], shift, axis=0)
+        out_neg = forward(params, neg, deterministic=False, rng=r2)
+        ln = out_neg["logits"].astype(jnp.float32)
+        per_row = jnp.mean(
+            optax_sigmoid_bce(ln, jnp.zeros_like(ln)), axis=-1
+        ) * k
+
+        # Model objective: weights are data (no model->weights edge).
+        wd = jax.lax.stop_gradient(w)
+        loss_neg = jnp.sum(per_row * wd) / jnp.maximum(jnp.sum(wd), 1e-8)
+        loss_model = 0.5 * (loss_pos + loss_neg)
+        # CLIP objective: per-row losses are data (no clip->logits edge).
+        pr = jax.lax.stop_gradient(per_row)
+        loss_clip = -jnp.sum(pr * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+        probs = jax.nn.sigmoid(lp)
+        aux = {
+            "loss": loss_model,
+            "loss_w": -loss_clip,
+            "score": jnp.max(probs, axis=-1),
+            "label": jnp.argmax(probs, axis=-1),
+        }
+        return loss_model + loss_clip, aux
+
+    def step(state: TrainState, clip_state: TrainState, batch, rng):
+        (g_model, g_clip), aux = jax.grad(
+            joint_loss, argnums=(0, 1), has_aux=True
+        )(state.params, clip_state.params, batch, rng)
+        if grad_clip and grad_clip > 0:
+            g_model = global_norm_clip(g_model, grad_clip)
+        if clip_grad_clip and clip_grad_clip > 0:
+            g_clip = global_norm_clip(g_clip, clip_grad_clip)
+        return state.apply_gradients(g_model), clip_state.apply_gradients(
+            g_clip
+        ), aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def make_chunked_train_step(step):

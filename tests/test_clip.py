@@ -418,6 +418,212 @@ class TestClipCliAndWeightStrategy:
         assert np.isfinite(s).all()
         assert len(set(np.round(s, 5))) > 1  # real similarities vary
 
+    def test_update_weight_model_e2e(self, clip_ckpt, synth, tmp_path):
+        """--strategy weight --update_weight_model end-to-end: the joint
+        min-max loop trains, saves the model AND the updated CLIP params
+        (gqa_weight.py --update_weight_model)."""
+        from rgqa_tpu.config import (
+            DataConfig,
+            EncoderConfig,
+            ModelConfig,
+            OODConfig,
+            OptimConfig,
+            RunConfig,
+            TrainConfig,
+        )
+        from rgqa_tpu.runner import GQARunner
+
+        out = str(tmp_path / "snap_uwm")
+        cfg = RunConfig(
+            model=ModelConfig(
+                backbone="lxmert",
+                encoder=EncoderConfig(
+                    hidden_size=32, num_heads=4, intermediate_size=64,
+                    l_layers=1, x_layers=1, r_layers=1, num_objects=36,
+                    visual_feat_dim=2048,
+                ),
+                max_text_len=12,
+            ),
+            train=TrainConfig(
+                batch_size=8, epochs=1, strategy="weight",
+                update_weight_model=True, optim=OptimConfig(lr=1e-3),
+                use_bf16=False,
+            ),
+            ood=OODConfig(clip_path=clip_ckpt),
+            data=DataConfig(data_root=synth, synthetic=True),
+            output=out,
+        )
+        runner = GQARunner(cfg)
+        history = runner.train()
+        assert np.isfinite(history["loss"][-1])
+        assert os.path.isdir(os.path.join(out, "LAST"))
+        assert os.path.isdir(os.path.join(out, "clip_params"))
+
+
+class TestUpdateWeightModel:
+    """--update_weight_model: the joint min-max step (gqa_weight.py:228-238)."""
+
+    def _tiny_gqa(self, b=4):
+        import jax
+        import jax.numpy as jnp
+
+        from rgqa_tpu.config import EncoderConfig, ModelConfig
+        from rgqa_tpu.models.zoo import build_model, example_batch
+
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            vocab_size=256, l_layers=1, x_layers=1, r_layers=1,
+            num_objects=6, visual_feat_dim=16,
+        )
+        mcfg = ModelConfig(
+            backbone="lxmert", encoder=enc, num_answers=7, max_text_len=6
+        )
+        model, forward = build_model(mcfg)
+        batch = example_batch(mcfg, batch_size=b, seed=0, with_target=True)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = model.init(
+            jax.random.PRNGKey(0),
+            batch["input_ids"], batch["input_mask"], batch["segment_ids"],
+            batch["feats"], batch["boxes"],
+        )["params"]
+        return forward, params, batch
+
+    def test_joint_step_model_update_matches_frozen_weight_step(
+        self, tmp_path
+    ):
+        """The joint step's MODEL update must be bitwise the plain
+        weighted-RP update fed the same softmax weights (the min-max
+        decomposition is exact: weights depend only on CLIP params)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rgqa_tpu.models.clip import ClipModel
+        from rgqa_tpu.train import bert_adam, create_train_state
+        from rgqa_tpu.train.step import (
+            make_train_step,
+            make_weighted_clip_train_step,
+        )
+
+        tmodel, _ = _torch_clip(seed=3)
+        jmodel, cparams, jcfg = _jax_clip_from(tmodel, tmp_path)
+        forward, params, batch = self._tiny_gqa(b=4)
+        ids, mask, pixels = _rand_inputs(jcfg, b=4, seed=7)
+        temperature = 2.0
+
+        def clip_similarity(cp, i, m, px):
+            sim = jmodel.apply(
+                {"params": cp}, i, m, px, method=ClipModel.cosine
+            )
+            scale = jnp.exp(
+                jax.lax.stop_gradient(cp["logit_scale"].astype(jnp.float32))
+            )
+            return sim * scale
+
+        shift = 1
+        jbatch = dict(
+            batch,
+            pixels=jnp.asarray(pixels),
+            clip_ids=jnp.asarray(ids),
+            clip_mask=jnp.asarray(mask),
+            neg_shift=jnp.asarray(shift, jnp.int32),
+        )
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        import optax
+
+        cstate = create_train_state(cparams, optax.adam(1e-5))
+        joint = make_weighted_clip_train_step(
+            forward, clip_similarity, temperature=temperature, donate=False
+        )
+        key = jax.random.PRNGKey(42)
+        new_state, new_cstate, aux = joint(state, cstate, jbatch, key)
+        assert np.isfinite(float(aux["loss"]))
+        assert np.isfinite(float(aux["loss_w"]))
+
+        # Reference model-side step with the SAME weights, host-computed
+        # from the initial CLIP params.
+        sim = np.asarray(
+            clip_similarity(
+                cparams, np.roll(ids, shift, 0), np.roll(mask, shift, 0),
+                pixels,
+            ),
+            np.float32,
+        )
+        e = np.exp((sim - sim.max()) / temperature)
+        w = e / e.sum()
+        fbatch = dict(batch)
+        fbatch["neg_shift"] = jnp.asarray(shift, jnp.int32)
+        fbatch["neg_weights"] = jnp.asarray(w, jnp.float32)
+        fstep = make_train_step(forward, weighted_rp=True, donate=False)
+        fstate, faux = fstep(create_train_state(params, tx), fbatch, key)
+
+        np.testing.assert_allclose(
+            float(aux["loss"]), float(faux["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_state.params),
+            jax.tree_util.tree_leaves(fstate.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-4
+            )
+
+        # And the CLIP side actually moved (adversarial ascent on the
+        # weighted negative loss).
+        moved = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(cstate.params),
+                jax.tree_util.tree_leaves(new_cstate.params),
+            )
+        ]
+        assert any(moved)
+
+    def test_clip_update_ascends_weighted_negative_loss(self, tmp_path):
+        """The weight model's update is an ASCENT on the weighted negative
+        loss (gqa_weight.py:228: loss_w = -loss_neg): re-evaluating with
+        the updated CLIP params and the UNCHANGED model params must raise
+        loss_w."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from rgqa_tpu.models.clip import ClipModel
+        from rgqa_tpu.train import bert_adam, create_train_state
+        from rgqa_tpu.train.step import make_weighted_clip_train_step
+
+        tmodel, _ = _torch_clip(seed=5)
+        jmodel, cparams, jcfg = _jax_clip_from(tmodel, tmp_path)
+        forward, params, batch = self._tiny_gqa(b=4)
+        ids, mask, pixels = _rand_inputs(jcfg, b=4, seed=9)
+
+        def clip_similarity(cp, i, m, px):
+            sim = jmodel.apply(
+                {"params": cp}, i, m, px, method=ClipModel.cosine
+            )
+            return sim * jnp.exp(
+                jax.lax.stop_gradient(cp["logit_scale"].astype(jnp.float32))
+            )
+
+        jbatch = dict(
+            batch,
+            pixels=jnp.asarray(pixels),
+            clip_ids=jnp.asarray(ids),
+            clip_mask=jnp.asarray(mask),
+            neg_shift=jnp.asarray(1, jnp.int32),
+        )
+        tx = bert_adam(1e-3, warmup=0.0, t_total=10)
+        state = create_train_state(params, tx)
+        cstate = create_train_state(cparams, optax.adam(1e-3))
+        joint = make_weighted_clip_train_step(
+            forward, clip_similarity, temperature=1.0, donate=False
+        )
+        key = jax.random.PRNGKey(0)
+        _, cstate1, aux0 = joint(state, cstate, jbatch, key)
+        # Same model params + same rng, CLIP params one ascent step later.
+        _, _, aux1 = joint(state, cstate1, jbatch, key)
+        assert float(aux1["loss_w"]) > float(aux0["loss_w"])
+
 
 class TestClipScorerEndToEnd:
     def test_jax_scorer_matches_torch_model(self, tmp_path):
