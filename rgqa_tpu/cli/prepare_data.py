@@ -36,6 +36,13 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--topk", type=int, default=None, help="limit images (--tiny/--fast)")
     p.add_argument("--num_boxes", type=int, default=36)
+    p.add_argument(
+        "--int8", action="store_true",
+        help="store features as per-RoI int8 + f32 scales (4x smaller at "
+        "rest, dequantized on access; ~0.4%% per-element quantization "
+        "error — for serving/eval deployments, see --feed_int8 for the "
+        "transport-only variant)",
+    )
     args = p.parse_args(argv)
 
     from rgqa_tpu.data.tsv import pack_obj_tsv
@@ -49,8 +56,10 @@ def main(argv=None):
         os.path.join(args.out, "features"),
         topk=args.topk,
         num_boxes=args.num_boxes,
+        int8=args.int8,
     )
-    print(f"packed {len(packed)} images into {args.out}/features")
+    kind = "int8-quantized" if args.int8 else "f32"
+    print(f"packed {len(packed)} images ({kind}) into {args.out}/features")
 
 
 if __name__ == "__main__":

@@ -96,11 +96,37 @@ def load_obj_tsv(path: str, topk: int | None = None) -> list[dict]:
     return data
 
 
+class _DequantView:
+    """f32 array view over an int8-quantized feature pack.
+
+    Dequantizes per indexed access (``q * scale``), so the int8 arrays
+    stay memory-mapped at rest — consumers index it exactly like the f32
+    ``features.npy`` memmap it replaces."""
+
+    def __init__(self, q, scale):
+        self.q, self.scale = q, scale
+        self.shape = q.shape
+        self.dtype = np.dtype(np.float32)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        q = np.asarray(self.q[idx], np.float32)
+        s = np.asarray(self.scale[idx], np.float32)
+        return q * s[..., None]
+
+
 class PackedFeatures:
     """Memory-mapped packed object features keyed by image id.
 
     Layout on disk (directory):
-      - ``features.npy``  (N, num_boxes, feat_dim) float32
+      - ``features.npy``  (N, num_boxes, feat_dim) float32 — OR, for an
+        int8 pack (``prepare_data --int8``, quarter the bytes at rest):
+        ``features_q.npy`` (N, num_boxes, feat_dim) int8 +
+        ``features_scale.npy`` (N, num_boxes) float32, per-RoI symmetric
+        quantization (:func:`rgqa_tpu.data.batching.quantize_feats`);
+        ``.features`` then reads through a dequantizing f32 view
       - ``boxes.npy``     (N, num_boxes, 4) float32 (absolute pixel coords)
       - ``objects_id.npy``/``objects_conf.npy``/``attrs_id.npy``/
         ``attrs_conf.npy`` (N, num_boxes)
@@ -115,12 +141,25 @@ class PackedFeatures:
         with open(os.path.join(directory, "img_ids.json")) as f:
             self.img_ids: list[str] = json.load(f)
         self.index = {img_id: i for i, img_id in enumerate(self.img_ids)}
+        self.int8 = not os.path.exists(
+            os.path.join(directory, "features.npy")
+        ) and os.path.exists(os.path.join(directory, "features_q.npy"))
         for name in self.ARRAYS:
+            if name == "features" and self.int8:
+                continue
             setattr(
                 self,
                 name,
                 np.load(os.path.join(directory, f"{name}.npy"), mmap_mode="r"),
             )
+        if self.int8:
+            self.features_q = np.load(
+                os.path.join(directory, "features_q.npy"), mmap_mode="r"
+            )
+            self.features_scale = np.load(
+                os.path.join(directory, "features_scale.npy"), mmap_mode="r"
+            )
+            self.features = _DequantView(self.features_q, self.features_scale)
 
     def __len__(self) -> int:
         return len(self.img_ids)
@@ -137,8 +176,15 @@ class PackedFeatures:
         view.directory = self.directory
         view.img_ids = self.img_ids[:topk]
         view.index = {img_id: i for i, img_id in enumerate(view.img_ids)}
+        view.int8 = self.int8
         for name in self.ARRAYS:
+            if name == "features" and self.int8:
+                continue
             setattr(view, name, getattr(self, name)[:topk])
+        if self.int8:
+            view.features_q = self.features_q[:topk]
+            view.features_scale = self.features_scale[:topk]
+            view.features = _DequantView(view.features_q, view.features_scale)
         return view
 
     def row(self, img_id: str) -> dict:
@@ -156,6 +202,20 @@ class PackedFeatures:
         }
 
 
+def _save_features(out_dir: str, features: np.ndarray, int8: bool) -> None:
+    """Write the feature array — f32, or per-RoI int8 + scales
+    (``--int8``: quarter the bytes at rest; the transport quantization
+    ``--feed_int8`` applies to a f32 feed round-trips to the same ints)."""
+    if not int8:
+        np.save(os.path.join(out_dir, "features.npy"), features)
+        return
+    from rgqa_tpu.data.batching import quantize_feats
+
+    q, scale = quantize_feats(np.asarray(features, np.float32))
+    np.save(os.path.join(out_dir, "features_q.npy"), q)
+    np.save(os.path.join(out_dir, "features_scale.npy"), scale)
+
+
 def pack_obj_tsv(
     tsv_path: str,
     out_dir: str,
@@ -163,6 +223,7 @@ def pack_obj_tsv(
     num_boxes: int = 36,
     feat_dim: int | None = None,
     use_native: bool = True,
+    int8: bool = False,
 ) -> PackedFeatures:
     """One-time TSV → packed-array conversion (the offline converter).
 
@@ -170,6 +231,12 @@ def pack_obj_tsv(
     to the fixed shape (the RGQA pipeline always uses 36 RoIs).  Uses the
     native C++ decoder (``rgqa_tpu.native``) when buildable; the numpy
     path below is the portable fallback and correctness reference.
+
+    ``int8`` stores features as per-RoI int8 + f32 scales (4x smaller at
+    rest; ``PackedFeatures.features`` dequantizes on access).  Intended
+    for serving/eval deployments — the ~0.4% per-element quantization
+    error applies to EVERYTHING read from the pack, unlike the
+    transport-only ``--feed_int8``.
     """
     if use_native:
         try:
@@ -183,6 +250,7 @@ def pack_obj_tsv(
             )
             img_ids = arrays.pop("img_ids")
             os.makedirs(out_dir, exist_ok=True)
+            _save_features(out_dir, arrays.pop("features"), int8)
             for name, arr in arrays.items():
                 np.save(os.path.join(out_dir, f"{name}.npy"), arr)
             with open(os.path.join(out_dir, "img_ids.json"), "w") as f:
@@ -221,8 +289,8 @@ def pack_obj_tsv(
         img_ids.append(row["img_id"])
 
     os.makedirs(out_dir, exist_ok=True)
+    _save_features(out_dir, features, int8)
     for name, arr in [
-        ("features", features),
         ("boxes", boxes),
         ("objects_id", objects_id),
         ("objects_conf", objects_conf),

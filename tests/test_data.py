@@ -1,6 +1,7 @@
 """TSV decode/pack round-trip and config CLI tests."""
 
 import base64
+import os
 
 import numpy as np
 import pytest
@@ -72,6 +73,45 @@ class TestTSV:
         np.testing.assert_array_equal(
             reopened.features[:], packed.features[:]
         )
+
+    def test_pack_int8(self, tmp_path):
+        """int8 pack (prepare_data --int8): features stored as per-RoI
+        int8 + scales, read back through the dequantizing f32 view within
+        the quantization tolerance; --feed_int8 re-quantization of the
+        dequantized values round-trips to the stored ints."""
+        from rgqa_tpu.data.batching import quantize_feats
+
+        rng = np.random.default_rng(11)
+        tsv = make_tsv(tmp_path / "feats.tsv", n_images=4, feat_dim=16, rng=rng)
+        raw = load_obj_tsv(str(tsv))
+        packed = pack_obj_tsv(
+            str(tsv), str(tmp_path / "packed8"), num_boxes=36, int8=True
+        )
+        assert packed.int8
+        assert not os.path.exists(tmp_path / "packed8" / "features.npy")
+        assert packed.features_q.dtype == np.int8
+        for row in raw:
+            p = packed.row(row["img_id"])
+            assert p["features"].dtype == np.float32
+            f = row["features"]
+            n = f.shape[0] if f.shape[0] < 36 else 36
+            # Per-RoI symmetric int8: error bounded by scale/2 per element.
+            tol = (np.abs(f[:n]).max(axis=-1, keepdims=True) / 127.0) * 0.51
+            assert np.all(np.abs(p["features"][:n] - f[:n]) <= tol + 1e-9)
+            np.testing.assert_array_equal(p["boxes"], row["boxes"])
+
+        # Reopen + truncate keep the int8 layout (no eager f32 blowup).
+        reopened = PackedFeatures(str(tmp_path / "packed8"))
+        assert reopened.int8
+        view = reopened.truncate(2)
+        assert view.int8 and len(view) == 2
+        np.testing.assert_array_equal(view.features[:], reopened.features[:2])
+
+        # Transport re-quantization (--feed_int8 over an int8 pack)
+        # reproduces the stored ints — no double-quantization drift.
+        feats = reopened.features[:]
+        q2, s2 = quantize_feats(feats)
+        np.testing.assert_array_equal(q2, np.asarray(reopened.features_q))
 
 
 class TestConfigCLI:
