@@ -11,7 +11,9 @@ platform).  Prints ONE JSON line
 ``{"unit": "examples/sec/chip", "batch": B, "examples_per_sec": ...,
 "step_ms": ...}`` where examples/sec counts the pre-augmentation batch.
 
-Env: RGQA_BENCH_BATCH (default 128), RGQA_BENCH_ITERS (default 8).
+Env: RGQA_BENCH_BATCH (default 128; ViLT 64), RGQA_BENCH_ITERS (default
+8), RGQA_BENCH_BACKBONE (lxmert default / uniter / butd / vilt — the
+finetune step is generic over the zoo).
 
 ``RGQA_BENCH_PRETRAIN=1`` benchmarks the LXMERT *pretraining* step
 instead (reference ``src/pretrain/lxmert_pretrain.py:309-360``): the
@@ -184,10 +186,14 @@ def main():
     if os.environ.get("RGQA_BENCH_PRETRAIN"):
         return pretrain_main()
 
-    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", "128"))
+    backbone = os.environ.get("RGQA_BENCH_BACKBONE", "lxmert")
+    # ViLT trains a 165-token pixel stream: batch 64 (x2 RP augmentation)
+    # is the reference-scale effective batch; LXMERT keeps 128.
+    default_batch = "64" if backbone == "vilt" else "128"
+    batch_size = int(os.environ.get("RGQA_BENCH_BATCH", default_batch))
     iters = int(os.environ.get("RGQA_BENCH_ITERS", "8"))
 
-    cfg = ModelConfig(backbone="lxmert")
+    cfg = ModelConfig(backbone=backbone)
     if os.environ.get("RGQA_BENCH_TINY"):
         # CPU-testable smoke shape: guards the driver-run contract
         # (tests/test_bench_smoke.py) without full-size compiles.
@@ -199,8 +205,9 @@ def main():
             pass
         from rgqa_tpu.config import EncoderConfig
 
+        backbone = "lxmert"  # smoke contract is LXMERT-shaped
         cfg = ModelConfig(
-            backbone="lxmert",
+            backbone=backbone,
             encoder=EncoderConfig(
                 hidden_size=32, num_heads=4, intermediate_size=64,
                 vocab_size=128, l_layers=1, x_layers=1, r_layers=1,
@@ -211,11 +218,21 @@ def main():
     model, forward = build_model(cfg, use_bf16=True)
     host = example_batch(cfg, batch_size=batch_size, seed=0, with_target=True)
     batch = {k: jnp.asarray(v) for k, v in host.items()}
-    params = model.init(
-        jax.random.PRNGKey(0),
-        batch["input_ids"][:2], batch["input_mask"][:2],
-        batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
-    )["params"]
+    if backbone == "butd":
+        init_args = (
+            batch["token_ids"][:2], batch["feats"][:2], batch["boxes"][:2]
+        )
+    elif backbone == "vilt":
+        init_args = (
+            batch["input_ids"][:2], batch["input_mask"][:2],
+            batch["pixels"][:2],
+        )
+    else:
+        init_args = (
+            batch["input_ids"][:2], batch["input_mask"][:2],
+            batch["segment_ids"][:2], batch["feats"][:2], batch["boxes"][:2],
+        )
+    params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
 
     tx = bert_adam(1e-5, warmup=0.1, t_total=10_000)
     state = create_train_state(params, tx)
@@ -249,6 +266,7 @@ def main():
         json.dumps(
             {
                 "unit": "examples/sec/chip",
+                "backbone": backbone,
                 "batch": batch_size,
                 "examples_per_sec": round(batch_size * iters / elapsed, 1),
                 "step_ms": round(elapsed / iters * 1e3, 2),

@@ -30,8 +30,12 @@ Autodiff: the kernel carries a ``jax.custom_vjp`` whose backward is a
 second Pallas kernel (recompute-based: dP = gV^T, dV = P^Tg,
 dS = P(dP - rowsum(dP*P)), dQ = scale*dS*K, dK = scale*dS^T*Q) in the
 same natural layout — measured +19% on the ODIN/Mahalanobis
-grad-at-eval paths vs the XLA backward (2.65k -> 3.15k q/s).  Gradient
-parity vs the XLA reference is pinned in ``tests/test_ops.py``.
+grad-at-eval paths vs the XLA backward (2.65k -> 3.15k q/s).  The
+backward has its own raised scoped-VMEM tiers (64/80 MiB — its f32
+scratch is ~10x the forward's): ViLT's 165-token training backward runs
+the kernel 2.3-2.8x faster than the XLA vjp it previously fell back to
+(``_fit_bwd_block``).  Gradient parity vs the XLA reference is pinned
+in ``tests/test_ops.py``.
 
 Numerics match the reference transformer (``src/lxrt/modeling.py:295-347``):
 scores scaled by ``1/sqrt(head_dim)``, additive float mask (``-10000``
@@ -143,6 +147,36 @@ _VMEM_BUDGET = 15 * 2**20
 # only engages when the default-budget fit fails.
 _RAISED_VMEM_LIMIT = 24 * 2**20
 _RAISED_VMEM_BUDGET = 23 * 2**20  # fit margin under the raised limit
+
+# Raised tiers for the BACKWARD (its f32 scratch is ~10x the forward's, so
+# long streams need far more than 24 MiB): ViLT's 165-token block-8
+# backward estimates ~55 MiB and measured 2.3-2.8x over the XLA vjp under
+# a 64 MiB limit (b=128: 1937 vs 4461 us; b=256: 2907 vs 8146 —
+# experiments/bwd_vmem_exp.py); the 185-token pad-mode stream (~68 MiB)
+# takes the 80 MiB tier.  Lowest fitting tier ships, per the forward's
+# measured limit-steers-pipelining effect.  The short ODIN/Maha shapes
+# (36x36 b=384) gained only 2% from raised-limit block 32 (1530 vs
+# 1561 us) — not worth diverging from the default-budget path, so as in
+# the forward the raised tiers engage ONLY when the default fit fails.
+_RAISED_BWD_VMEM_TIERS = (64 * 2**20, 80 * 2**20)
+
+
+def _fit_bwd_block(b: int, sq: int, skv: int, e: int,
+                   itemsize: int) -> tuple[int, int | None]:
+    """Backward block + scoped-VMEM limit: the default-budget fit first
+    (limit None = Mosaic's 16 MiB default), then block 8 under each raised
+    tier.  Returns ``(0, None)`` when nothing fits — callers fall back to
+    the XLA vjp."""
+    bt = _fit_block(_BWD_BATCH_BLOCK, b, sq, skv, e, itemsize, bwd=True)
+    if bt:
+        return bt, None
+    for limit in _RAISED_BWD_VMEM_TIERS:
+        bt = _fit_block(
+            8, b, sq, skv, e, itemsize, bwd=True, budget=limit - 2**20
+        )
+        if bt:
+            return bt, limit
+    return 0, None
 
 
 def _fit_block(default: int, b: int, sq: int, skv: int, e: int,
@@ -456,7 +490,7 @@ def _fused_bwd_pallas_raw(q, k, v, bias_kv, g, num_heads):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
-    bt = _fit_block(_BWD_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize, bwd=True)
+    bt, vmem_limit = _fit_bwd_block(b, sq, skv, e, q.dtype.itemsize)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -481,6 +515,11 @@ def _fused_bwd_pallas_raw(q, k, v, bias_kv, g, num_heads):
             jax.ShapeDtypeStruct((rows, skv, e), v.dtype),
             jax.ShapeDtypeStruct((rows, skv), jnp.float32),
         ),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+            if vmem_limit and not interpret_mode()
+            else None
+        ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * rows * num_heads * sq * skv * d,
             bytes_accessed=(2 * q.size + 3 * k.size) * q.dtype.itemsize * 2,
@@ -504,14 +543,13 @@ def _fused_fwd(q, k, v, bias_kv, num_heads):
 
 def _fused_bwd(num_heads, res, g):
     q, k, v, bias_kv = res
-    fit = _fit_block(
-        _BWD_BATCH_BLOCK, q.shape[0], q.shape[1], k.shape[1], q.shape[-1],
-        q.dtype.itemsize, bwd=True,
+    fit, _ = _fit_bwd_block(
+        q.shape[0], q.shape[1], k.shape[1], q.shape[-1], q.dtype.itemsize
     )
     if fit == 0:
-        # No lowerable backward block at this shape (long streams on long
-        # grids, e.g. ViLT 165 tokens at batch >= 256): differentiate the
-        # numerics-identical XLA path instead.
+        # No lowerable backward block at this shape even under the raised
+        # scoped-VMEM tiers: differentiate the numerics-identical XLA
+        # path instead.
         _, vjp = jax.vjp(
             lambda q_, k_, v_, m_: _attention_natural_xla(
                 q_, k_, v_, m_, num_heads

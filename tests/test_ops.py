@@ -106,6 +106,61 @@ class TestFusedAttentionKernel:
         out = _fused_pallas_raw(q, k, v, bias, H)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_raised_bwd_tier_fit(self):
+        """The BACKWARD's raised scoped-VMEM tiers (64/80 MiB): ViLT-shape
+        training backwards stay on the fused kernel (measured 2.3-2.8x
+        over the XLA vjp — experiments/bwd_vmem_exp.py) while the short
+        ODIN/Maha shapes keep the default-budget block 16."""
+        from rgqa_tpu.ops.attention import (
+            _RAISED_BWD_VMEM_TIERS,
+            _fit_bwd_block,
+        )
+
+        # Short shapes: default fit succeeds, no raised limit.
+        assert _fit_bwd_block(384, 36, 36, 768, 2) == (16, None)
+        assert _fit_bwd_block(384, 20, 36, 768, 2) == (16, None)
+        # ViLT 165-token stream (bf16): block 8 under the 64 MiB tier
+        # (est ~41 MiB at 16 cells, ~55 MiB once the >= 25-cell grid
+        # doubles the io) at every training batch.
+        for b in (128, 256, 384):
+            assert _fit_bwd_block(b, 165, 165, 768, 2) == (
+                8, _RAISED_BWD_VMEM_TIERS[0]
+            ), b
+        # The 185-token pad-mode stream busts 63 MiB on long grids
+        # (est ~67.5 MiB) -> the 80 MiB tier.
+        assert _fit_bwd_block(256, 185, 185, 768, 2) == (
+            8, _RAISED_BWD_VMEM_TIERS[1]
+        )
+        # f32 io at 185 tokens exceeds every tier -> XLA vjp fallback.
+        assert _fit_bwd_block(256, 185, 185, 768, 4) == (0, None)
+
+    def test_raised_bwd_tier_gradients(self):
+        """A shape whose backward fails the default budget but fits the
+        raised tier must dispatch the backward kernel (not the XLA vjp)
+        and match the XLA gradients."""
+        from rgqa_tpu.ops import attention as A
+
+        b, s = 16, 128  # f32, E=64: bwd est(8) ~18.6 MiB — raised tier
+        assert A._fit_block(A._BWD_BATCH_BLOCK, b, s, s, E, 4, bwd=True) == 0
+        bt, limit = A._fit_bwd_block(b, s, s, E, 4)
+        assert bt == 8 and limit == A._RAISED_BWD_VMEM_TIERS[0]
+        q, k, v, bias = _inputs(b=b, sq=s, skv=s)
+
+        def loss_fused(q, k, v, bias):
+            return jnp.sum(jnp.square(_fused(q, k, v, bias, H)))
+
+        def loss_xla(q, k, v, bias):
+            return jnp.sum(
+                jnp.square(_attention_natural_xla(q, k, v, bias, H))
+            )
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, x in zip(gf, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(x), atol=2e-4
+            )
+
     def test_qblocked_matches_xla(self):
         """Query-tiled kernel (long streams where no full-seq batch block
         fits): numerics identical to the XLA reference, including batch
