@@ -206,6 +206,17 @@ def _save_features(out_dir: str, features: np.ndarray, int8: bool) -> None:
     """Write the feature array — f32, or per-RoI int8 + scales
     (``--int8``: quarter the bytes at rest; the transport quantization
     ``--feed_int8`` applies to a f32 feed round-trips to the same ints)."""
+    # Remove the opposite format's files first: re-packing into a
+    # directory that held the other layout must not leave stale arrays
+    # behind (PackedFeatures prefers features.npy when both exist).
+    stale = (
+        ("features_q.npy", "features_scale.npy") if not int8
+        else ("features.npy",)
+    )
+    for name in stale:
+        path = os.path.join(out_dir, name)
+        if os.path.exists(path):
+            os.remove(path)
     if not int8:
         np.save(os.path.join(out_dir, "features.npy"), features)
         return

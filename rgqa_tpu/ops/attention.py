@@ -910,14 +910,25 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     sq = q.shape[1]
     e = q.shape[-1]
-    if (
-        _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize) == 0
-        and _fit_qblock(b, sq, skv, e, q.dtype.itemsize)[0] == 0
-    ):
-        # Neither a full-sequence batch block nor a query-tiled grid fits
-        # VMEM at this shape — the XLA path wins by default.
+    if not _kernel_fits(b, sq, skv, e, q.dtype.itemsize):
         return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     return _fused(q, k, v, bias_kv, num_heads)
+
+
+def _kernel_fits(b: int, sq: int, skv: int, e: int, itemsize: int) -> bool:
+    """True when SOME forward grid fits: the default-budget batch block,
+    the raised 24 MiB full-sequence tier, or the query-tiled grid — the
+    same order ``_fused_pallas_raw`` dispatches in.  Must stay in sync
+    with it: a shape this passes that no tier actually handles would
+    crash the kernel, and a shape this rejects that a tier handles
+    silently loses the kernel (both directions are pinned in
+    ``tests/test_ops.py``)."""
+    return (
+        _fit_block(_BATCH_BLOCK, b, sq, skv, e, itemsize) != 0
+        or _fit_block(8, b, sq, skv, e, itemsize,
+                      budget=_RAISED_VMEM_BUDGET) != 0
+        or _fit_qblock(b, sq, skv, e, itemsize)[0] != 0
+    )
 
 
 def bias_vector(bias, b, skv):

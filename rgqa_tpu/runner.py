@@ -404,6 +404,61 @@ class GQARunner(ScoringMixin):
         finally:
             self._feed_exact = False
 
+    def _record_chart(self, quesid2score, qids, scores, labels):
+        """Accumulate per-question cartography rows (``--chart``)."""
+        for qid, s, l in zip(qids, scores, labels):
+            datum = self.dataset.id2datum[qid]
+            quesid2score[qid] = (
+                float(s), datum.get("label"), self.label2ans[int(l)]
+            )
+
+    def _epoch_end(
+        self, epoch, state, epoch_start, last_loss, history, best_valid,
+        quesid2score, *, extra_save=None,
+    ) -> float:
+        """Shared end-of-epoch bookkeeping for the single-loader trainers
+        (reference log format: ``gqa.py:214-230``): history + log.log +
+        chart pickle, validation with BEST (and ``--save_all`` EPOCH_n)
+        checkpoints.  ``extra_save(tag)`` persists strategy-specific
+        sibling state (e.g. the adversarial CLIP tower) whenever the
+        model checkpoint is saved.  Returns the updated best_valid."""
+        tcfg = self.cfg.train
+        last_loss = float(last_loss)
+        history["loss"].append(last_loss)
+        log_str = (
+            f"\nEpoch {epoch}: Train Loss {last_loss:.2f} "
+            f"({time.time() - epoch_start:.1f}s)\n"
+        )
+        self.params = state.params
+        if self.valid_set is not None:
+            valid = self._validate_exact()
+            history["valid"].append(valid)
+            if valid > best_valid:
+                best_valid = valid
+                self.save("BEST", state, async_save=True)
+                if extra_save is not None:
+                    extra_save("BEST")
+            log_str += (
+                f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
+                f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
+            )
+        if tcfg.save_all:
+            self.save(f"EPOCH_{epoch}", state, async_save=True)
+            if extra_save is not None:
+                extra_save(f"EPOCH_{epoch}")
+        print(log_str, end="", flush=True)
+        with open(os.path.join(self.output, "log.log"), "a") as f:
+            f.write(log_str)
+        if tcfg.chart:
+            with open(
+                os.path.join(self.output, "chart", f"epoch_{epoch}.pkl"),
+                "wb",
+            ) as f:
+                pickle.dump(
+                    quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL
+                )
+        return best_valid
+
     def train(self, resume: Optional[str] = None) -> dict:
         """Train per the configured strategy.
 
@@ -430,6 +485,16 @@ class GQARunner(ScoringMixin):
                     "(joint model+CLIP step)", flush=True,
                 )
             return self.train_weight_model(resume)
+        if self.cfg.train.update_weight_model:
+            import warnings
+
+            warnings.warn(
+                "--update_weight_model only applies with --strategy "
+                f"weight (got --strategy {self.cfg.train.strategy}); the "
+                "CLIP weight model will NOT be trained",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         cfg = self.cfg
         tcfg = cfg.train
         assert self.train_set is not None
@@ -537,12 +602,7 @@ class GQARunner(ScoringMixin):
         key = jax.random.PRNGKey(tcfg.seed)
         best_valid = 0.0
         history = {"loss": [], "valid": []}
-        def record_chart(quesid2score, qids, scores, labels):
-            for qid, s, l in zip(qids, scores, labels):
-                datum = self.dataset.id2datum[qid]
-                quesid2score[qid] = (
-                    float(s), datum.get("label"), self.label2ans[int(l)]
-                )
+        record_chart = self._record_chart
 
         for epoch in range(tcfg.epochs):
             quesid2score = {}
@@ -624,31 +684,10 @@ class GQARunner(ScoringMixin):
                         np.asarray(aux["score"]), np.asarray(aux["label"]),
                     )
                 last_loss = aux["loss"]
-            last_loss = float(last_loss)
-            history["loss"].append(last_loss)
-
-            log_str = f"\nEpoch {epoch}: Train Loss {last_loss:.2f} ({time.time() - epoch_start:.1f}s)\n"
-            self.params = state.params
-            if self.valid_set is not None:
-                valid = self._validate_exact()
-                history["valid"].append(valid)
-                if valid > best_valid:
-                    best_valid = valid
-                    self.save("BEST", state, async_save=True)
-                log_str += (
-                    f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
-                    f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
-                )
-            if tcfg.save_all:
-                self.save(f"EPOCH_{epoch}", state, async_save=True)
-            print(log_str, end="", flush=True)
-            with open(os.path.join(self.output, "log.log"), "a") as f:
-                f.write(log_str)
-            if tcfg.chart:
-                with open(
-                    os.path.join(self.output, "chart", f"epoch_{epoch}.pkl"), "wb"
-                ) as f:
-                    pickle.dump(quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL)
+            best_valid = self._epoch_end(
+                epoch, state, epoch_start, last_loss, history, best_valid,
+                quesid2score,
+            )
 
         self.save("LAST", state)
         wait_for_saves()
@@ -663,15 +702,18 @@ class GQARunner(ScoringMixin):
 
         TPU-native: both towers' fwd+bwd and both optimizer updates run in
         ONE jit (``make_weighted_clip_train_step``); anchor images are
-        CLIP-preprocessed and CLIP-tokenized in the prefetch thread, so the
-        JPEG decode overlaps device compute.  The updated CLIP params are
-        saved beside the model checkpoint (``clip_params/``) so a later
-        ``--strategy weight`` run can reuse them.
+        decoded ONCE into a uint8 disk memmap and normalized per batch in
+        the prefetch thread, overlapping device compute.  Checkpoints:
+        every model tag gets a ``<tag>_clip`` sibling (CLIP params + Adam
+        state — ``resume`` restores both sides of the min-max), and the
+        final tower is exported as a reloadable ``clip_params/`` dir that
+        a later ``--strategy weight --clip_path <output>/clip_params`` run
+        scores with (:meth:`_export_clip_params`).
         """
         import optax
 
         from rgqa_tpu.data.images import GQAImageSource
-        from rgqa_tpu.scorers.clip import ClipScorer, clip_preprocess
+        from rgqa_tpu.scorers.clip import ClipScorer
         from rgqa_tpu.train import make_weighted_clip_train_step
 
         cfg = self.cfg
@@ -718,6 +760,29 @@ class GQARunner(ScoringMixin):
                 step=restored["step"], params=restored["params"],
                 opt_state=restored["opt_state"],
             )
+            # The adversary resumes too: each model tag has a sibling
+            # <tag>_clip checkpoint (params + Adam state) — without it the
+            # min-max trajectory would silently restart the CLIP side.
+            clip_name = f"{resume}_clip"
+            if os.path.isdir(os.path.join(self.output, clip_name)):
+                rc = load_checkpoint(
+                    self.output, clip_name, template=clip_state
+                )
+                clip_state = clip_state.replace(
+                    step=rc["step"], params=rc["params"],
+                    opt_state=rc["opt_state"],
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"resume {resume!r}: no {clip_name} checkpoint — the "
+                    "CLIP weight model restarts from --clip_path and the "
+                    "min-max trajectory will diverge from an "
+                    "uninterrupted run",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         step = make_weighted_clip_train_step(
             self.forward,
             clip_similarity,
@@ -728,6 +793,33 @@ class GQARunner(ScoringMixin):
         source = GQAImageSource(image_root)
         from PIL import Image
 
+        from rgqa_tpu.scorers.clip import clip_normalize, clip_resize_crop
+
+        # Decode-once pixel cache: each anchor JPEG is decoded + resized
+        # ONE time across all epochs (on this one-core host a per-epoch
+        # re-decode can starve the TPU step).  uint8 post-crop rows live
+        # in a disk memmap (~150 KB/image at 224px — f32 in RAM would be
+        # 4x and GQA-scale doesn't fit); the cheap normalize runs per
+        # batch in the prefetch thread.
+        uniq = sorted(
+            {self.dataset.id2datum[q]["img_id"] for q in self.train_set.question_ids}
+        )
+        img_row = {img_id: i for i, img_id in enumerate(uniq)}
+        s = ccfg.image_size
+        pixel_cache = np.lib.format.open_memmap(
+            os.path.join(self.output, "clip_pixels_u8.npy"),
+            mode="w+", dtype=np.uint8, shape=(len(uniq), s, s, 3),
+        )
+        cached = np.zeros(len(uniq), bool)
+
+        def anchor_pixels(img_id: str) -> np.ndarray:
+            row = img_row[img_id]
+            if not cached[row]:
+                with Image.open(source.path(img_id)) as im:
+                    pixel_cache[row] = clip_resize_crop(im, s)
+                cached[row] = True
+            return pixel_cache[row]
+
         def add_clip_inputs(it):
             """Prefetch-thread batch augmentation: anchor pixels + anchor
             CLIP tokens (negatives are formed in-jit by the neg_shift
@@ -737,14 +829,13 @@ class GQARunner(ScoringMixin):
                 ids, mask = scorer.tokenizer.encode_batch(
                     sents, ccfg.max_text_len
                 )
-                imgs = []
-                for q in qids:
-                    img_id = self.dataset.id2datum[q]["img_id"]
-                    with Image.open(source.path(img_id)) as im:
-                        imgs.append(clip_preprocess(im, ccfg.image_size))
+                u8 = np.stack([
+                    anchor_pixels(self.dataset.id2datum[q]["img_id"])
+                    for q in qids
+                ])
                 batch = dict(
                     batch,
-                    pixels=np.stack(imgs),
+                    pixels=clip_normalize(u8),
                     clip_ids=ids,
                     clip_mask=mask,
                 )
@@ -776,50 +867,49 @@ class GQARunner(ScoringMixin):
                 key, sub = jax.random.split(key)
                 state, clip_state, aux = step(state, clip_state, batch, sub)
                 if tcfg.chart:
-                    scores = np.asarray(aux["score"])
-                    labels = np.asarray(aux["label"])
-                    for qid, s, l in zip(qids, scores, labels):
-                        datum = self.dataset.id2datum[qid]
-                        quesid2score[qid] = (
-                            float(s), datum.get("label"),
-                            self.label2ans[int(l)],
-                        )
-                last_loss = aux["loss"]
-            last_loss = float(last_loss)
-            history["loss"].append(last_loss)
-
-            log_str = (
-                f"\nEpoch {epoch}: Train Loss {last_loss:.2f} "
-                f"({time.time() - epoch_start:.1f}s)\n"
-            )
-            self.params = state.params
-            if self.valid_set is not None:
-                valid = self._validate_exact()
-                history["valid"].append(valid)
-                if valid > best_valid:
-                    best_valid = valid
-                    self.save("BEST", state, async_save=True)
-                log_str += (
-                    f"Epoch {epoch}: Valid {valid * 100:.2f}\n"
-                    f"Epoch {epoch}: Best {best_valid * 100:.2f}\n"
-                )
-            if tcfg.save_all:
-                self.save(f"EPOCH_{epoch}", state, async_save=True)
-            print(log_str, end="", flush=True)
-            with open(os.path.join(self.output, "log.log"), "a") as f:
-                f.write(log_str)
-            if tcfg.chart:
-                with open(
-                    os.path.join(self.output, "chart", f"epoch_{epoch}.pkl"),
-                    "wb",
-                ) as f:
-                    pickle.dump(
-                        quesid2score, f, protocol=pickle.HIGHEST_PROTOCOL
+                    self._record_chart(
+                        quesid2score, qids,
+                        np.asarray(aux["score"]), np.asarray(aux["label"]),
                     )
+                last_loss = aux["loss"]
+
+            def save_clip(tag):
+                # Sibling adversary checkpoint: resume restores it so the
+                # min-max trajectory continues, not restarts.
+                save_checkpoint(
+                    self.output, f"{tag}_clip", clip_state, async_save=True
+                )
+
+            best_valid = self._epoch_end(
+                epoch, state, epoch_start, last_loss, history, best_valid,
+                quesid2score, extra_save=save_clip,
+            )
         self.save("LAST", state)
-        save_checkpoint(self.output, "clip_params", clip_state.params)
+        save_checkpoint(self.output, "LAST_clip", clip_state)
+        self._export_clip_params(clip_path, clip_state.params)
         wait_for_saves()
         return history
+
+    def _export_clip_params(self, src_clip_path: str, params) -> str:
+        """Write the trained CLIP tower as a RELOADABLE checkpoint dir
+        (``<output>/clip_params``): the source HF dir's ``config.json`` +
+        tokenizer files plus the params as an orbax tree under
+        ``jax_params/`` — so a later ``--strategy weight --clip_path
+        <output>/clip_params`` run scores with the trained adversary
+        (``ClipScorer`` loads ``jax_params`` in preference to the torch
+        ``pytorch_model.bin``)."""
+        import shutil
+
+        out = os.path.join(self.output, "clip_params")
+        os.makedirs(out, exist_ok=True)
+        for name in (
+            "config.json", "vocab.json", "merges.txt", "tokenizer.json"
+        ):
+            src = os.path.join(src_clip_path, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out, name))
+        save_checkpoint(out, "jax_params", params)
+        return out
 
     def _weight_similarity(self):
         """Image-question similarity for the CLIP-weighted RP strategy

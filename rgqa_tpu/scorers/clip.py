@@ -26,19 +26,24 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["ClipScorer", "clip_preprocess", "clip_loss_weights"]
+__all__ = [
+    "ClipScorer",
+    "clip_preprocess",
+    "clip_resize_crop",
+    "clip_normalize",
+    "clip_loss_weights",
+]
 
 # HF CLIPImageProcessor normalization constants (OPENAI_CLIP_MEAN/STD).
 CLIP_MEAN = np.asarray((0.48145466, 0.4578275, 0.40821073), np.float32)
 CLIP_STD = np.asarray((0.26862954, 0.26130258, 0.27577711), np.float32)
 
 
-def clip_preprocess(image, size: int = 224) -> np.ndarray:
-    """PIL image -> (size, size, 3) float32, matching HF
-    ``CLIPImageProcessor``: bicubic resize of the shortest edge to
-    ``size`` (long edge ``int(size * long / short)``), center crop,
-    rescale 1/255, mean/std normalize.  Channels-last (the flax conv's
-    native layout; HF's NCHW is a torch artifact)."""
+def clip_resize_crop(image, size: int = 224) -> np.ndarray:
+    """PIL image -> (size, size, 3) uint8: the decode-side half of
+    :func:`clip_preprocess` (bicubic shortest-edge resize + center crop).
+    Split out so epoch loops can cache the uint8 stage (150 KB/image)
+    and re-apply the cheap normalize per batch."""
     from PIL import Image
 
     image = image.convert("RGB")
@@ -48,11 +53,24 @@ def clip_preprocess(image, size: int = 224) -> np.ndarray:
     else:
         new_w, new_h = int(size * w / h), size
     image = image.resize((new_w, new_h), Image.BICUBIC)
-    arr = np.asarray(image, np.float32)
+    arr = np.asarray(image, np.uint8)
     top = (new_h - size) // 2
     left = (new_w - size) // 2
-    arr = arr[top : top + size, left : left + size]
-    return (arr / 255.0 - CLIP_MEAN) / CLIP_STD
+    return arr[top : top + size, left : left + size]
+
+
+def clip_normalize(arr_u8: np.ndarray) -> np.ndarray:
+    """uint8 pixels -> float32: rescale 1/255, CLIP mean/std normalize."""
+    return (np.asarray(arr_u8, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+
+def clip_preprocess(image, size: int = 224) -> np.ndarray:
+    """PIL image -> (size, size, 3) float32, matching HF
+    ``CLIPImageProcessor``: bicubic resize of the shortest edge to
+    ``size`` (long edge ``int(size * long / short)``), center crop,
+    rescale 1/255, mean/std normalize.  Channels-last (the flax conv's
+    native layout; HF's NCHW is a torch artifact)."""
+    return clip_normalize(clip_resize_crop(image, size))
 
 
 class ClipScorer:
@@ -131,13 +149,23 @@ class ClipScorer:
         template = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes
         )
-        params, missing, _ = import_clip(
-            template, path,
-            vision_layers=cfg.vision.num_layers,
-            text_layers=cfg.text.num_layers,
-        )
-        if missing:
-            raise ValueError(f"CLIP checkpoint missing keys: {missing[:5]}")
+        if os.path.isdir(os.path.join(path, "jax_params")):
+            # A trained-adversary export (runner._export_clip_params:
+            # config + tokenizer files + orbax params) — load natively,
+            # no torch weights involved.
+            from rgqa_tpu.checkpoint import load_params
+
+            params = load_params(path, "jax_params", template=template)
+        else:
+            params, missing, _ = import_clip(
+                template, path,
+                vision_layers=cfg.vision.num_layers,
+                text_layers=cfg.text.num_layers,
+            )
+            if missing:
+                raise ValueError(
+                    f"CLIP checkpoint missing keys: {missing[:5]}"
+                )
         self.model = model  # the flax module (train_weight_model re-applies it)
         self.params = jax.device_put(params)
         self._apply = jax.jit(

@@ -457,7 +457,82 @@ class TestClipCliAndWeightStrategy:
         history = runner.train()
         assert np.isfinite(history["loss"][-1])
         assert os.path.isdir(os.path.join(out, "LAST"))
-        assert os.path.isdir(os.path.join(out, "clip_params"))
+        # The adversary checkpoints beside the model (resume restores
+        # both sides of the min-max)...
+        assert os.path.isdir(os.path.join(out, "LAST_clip"))
+        # ...and the exported clip_params dir is RELOADABLE: config +
+        # tokenizer + orbax params; ClipScorer must load it natively with
+        # the TRAINED params (different from the source checkpoint's).
+        exported = os.path.join(out, "clip_params")
+        assert os.path.isdir(os.path.join(exported, "jax_params"))
+        from rgqa_tpu.scorers.clip import ClipScorer
+
+        trained = ClipScorer(exported, backend="jax", batch_size=4)
+        base = ClipScorer(clip_ckpt, backend="jax", batch_size=4)
+        import jax
+
+        moved = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(trained.params),
+                jax.tree_util.tree_leaves(base.params),
+            )
+        ]
+        assert any(moved)
+
+        # Resume restores the CLIP tower when the sibling exists (no
+        # RuntimeWarning), and warns when it doesn't.
+        import warnings
+
+        runner2 = GQARunner(cfg)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            runner2.train(resume="LAST")
+        import shutil
+
+        shutil.rmtree(os.path.join(out, "LAST_clip"))
+        runner3 = GQARunner(cfg)
+        with pytest.warns(RuntimeWarning, match="no LAST_clip"):
+            runner3.train(resume="LAST")
+
+    def test_update_weight_model_requires_weight_strategy(
+        self, clip_ckpt, synth, tmp_path
+    ):
+        """--update_weight_model without --strategy weight warns loudly
+        instead of silently dropping the flag."""
+        from rgqa_tpu.config import (
+            DataConfig,
+            EncoderConfig,
+            ModelConfig,
+            OODConfig,
+            OptimConfig,
+            RunConfig,
+            TrainConfig,
+        )
+        from rgqa_tpu.runner import GQARunner
+
+        cfg = RunConfig(
+            model=ModelConfig(
+                backbone="lxmert",
+                encoder=EncoderConfig(
+                    hidden_size=32, num_heads=4, intermediate_size=64,
+                    l_layers=1, x_layers=1, r_layers=1, num_objects=36,
+                    visual_feat_dim=2048,
+                ),
+                max_text_len=12,
+            ),
+            train=TrainConfig(
+                batch_size=8, epochs=1, strategy="conf",
+                update_weight_model=True, optim=OptimConfig(lr=1e-3),
+                use_bf16=False,
+            ),
+            ood=OODConfig(clip_path=clip_ckpt),
+            data=DataConfig(data_root=synth, synthetic=True),
+            output=str(tmp_path / "snap_mismatch"),
+        )
+        runner = GQARunner(cfg)
+        with pytest.warns(RuntimeWarning, match="only applies"):
+            runner.train()
 
 
 class TestUpdateWeightModel:

@@ -113,6 +113,35 @@ class TestTSV:
         q2, s2 = quantize_feats(feats)
         np.testing.assert_array_equal(q2, np.asarray(reopened.features_q))
 
+    def test_repack_format_switch_removes_stale_files(self, tmp_path):
+        """Re-packing into a directory that held the OTHER feature format
+        must remove the stale files — PackedFeatures prefers features.npy
+        when both exist, so a leftover f32 array would silently serve old
+        data after an --int8 repack (and vice versa)."""
+        rng = np.random.default_rng(3)
+        tsv1 = make_tsv(tmp_path / "a.tsv", n_images=2, feat_dim=8, rng=rng)
+        tsv2 = make_tsv(tmp_path / "b.tsv", n_images=2, feat_dim=8, rng=rng)
+        out = str(tmp_path / "pack")
+        pack_obj_tsv(str(tsv1), out, num_boxes=36)
+        p8 = pack_obj_tsv(str(tsv2), out, num_boxes=36, int8=True)
+        assert p8.int8
+        assert not os.path.exists(os.path.join(out, "features.npy"))
+        fresh = load_obj_tsv(str(tsv2))[0]
+        got = PackedFeatures(out).row(fresh["img_id"])["features"]
+        n = min(fresh["features"].shape[0], 36)
+        tol = np.abs(fresh["features"][:n]).max() / 127.0
+        assert np.all(np.abs(got[:n] - fresh["features"][:n]) <= tol)
+        # ...and back to f32 removes the int8 pair.
+        pf = pack_obj_tsv(str(tsv1), out, num_boxes=36)
+        assert not pf.int8
+        assert not os.path.exists(os.path.join(out, "features_q.npy"))
+        raw1 = load_obj_tsv(str(tsv1))[0]
+        n1 = min(raw1["features"].shape[0], 36)
+        np.testing.assert_array_equal(
+            PackedFeatures(out).row(raw1["img_id"])["features"][:n1],
+            raw1["features"][:n1],
+        )
+
 
 class TestConfigCLI:
     def test_reference_flag_names(self):

@@ -106,6 +106,22 @@ class TestFusedAttentionKernel:
         out = _fused_pallas_raw(q, k, v, bias, H)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_public_dispatch_covers_raised_tier(self):
+        """fused_attention's XLA-fallback guard must accept every shape
+        SOME kernel tier handles — including shapes that fit only the
+        raised full-seq tier (f32 ViLT shapes: default fit 0, q-tiled 0,
+        raised block 8) — and reject shapes no tier handles."""
+        from rgqa_tpu.ops import attention as A
+
+        for b, s in ((96, 165), (128, 165), (64, 185), (128, 185)):
+            assert A._fit_block(A._BATCH_BLOCK, b, s, s, 768, 4) == 0
+            assert A._kernel_fits(b, s, s, 768, 4), (b, s)
+        # f32 185-token long grid: no tier fits -> XLA fallback.
+        assert not A._kernel_fits(256, 185, 185, 768, 4)
+        # The shipped bf16 shapes all pass.
+        for b, s in ((384, 36), (384, 165), (384, 185)):
+            assert A._kernel_fits(b, s, s, 768, 2), (b, s)
+
     def test_raised_bwd_tier_fit(self):
         """The BACKWARD's raised scoped-VMEM tiers (64/80 MiB): ViLT-shape
         training backwards stay on the fused kernel (measured 2.3-2.8x
