@@ -187,6 +187,8 @@ def main():
         return pretrain_main()
 
     backbone = os.environ.get("RGQA_BENCH_BACKBONE", "lxmert")
+    if os.environ.get("RGQA_BENCH_TINY"):
+        backbone = "lxmert"  # smoke contract is LXMERT-shaped
     # ViLT trains a 165-token pixel stream: batch 64 (x2 RP augmentation)
     # is the reference-scale effective batch; LXMERT keeps 128.
     default_batch = "64" if backbone == "vilt" else "128"
@@ -205,7 +207,6 @@ def main():
             pass
         from rgqa_tpu.config import EncoderConfig
 
-        backbone = "lxmert"  # smoke contract is LXMERT-shaped
         cfg = ModelConfig(
             backbone=backbone,
             encoder=EncoderConfig(

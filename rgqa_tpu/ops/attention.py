@@ -318,29 +318,47 @@ def _fit_qblock(b: int, sq: int, skv: int, e: int,
     return 0, 0
 
 
+def _fwd_plan(
+    b: int, sq: int, skv: int, e: int, itemsize: int,
+) -> tuple[str | None, int, int | None]:
+    """Single source of truth for the forward dispatch ladder — consumed
+    by BOTH :func:`fused_attention`'s guard and :func:`_fused_pallas_raw`
+    so they cannot diverge.  Returns ``(kind, batch_block, vmem_limit)``:
+
+    1. ``("block", bt, None)`` — full-sequence grid under the default
+       16 MiB scoped-VMEM cap;
+    2. ``("block", bt, _RAISED_VMEM_LIMIT)`` — full-sequence grid under
+       the raised 24 MiB tier (long streams whose deepened-pipeline
+       footprint busts the default cap, ViLT 165-185 tok at batch >= 192;
+       measured 25-30% over query tiling — docs/kernels.md).  Block
+       default 8, not _BATCH_BLOCK: at every measured raised-tier point
+       block 8 beat 16/32 (b=256: 1416 vs 1433/1718 us), the bigger
+       blocks' extra VMEM pressure buying nothing;
+    3. ``("qblock", 0, None)`` — query-tiled grid;
+    4. ``(None, 0, None)`` — nothing fits, XLA fallback.
+    """
+    bt = _fit_block(_BATCH_BLOCK, b, sq, skv, e, itemsize)
+    if bt:
+        return "block", bt, None
+    bt = _fit_block(8, b, sq, skv, e, itemsize, budget=_RAISED_VMEM_BUDGET)
+    if bt:
+        return "block", bt, _RAISED_VMEM_LIMIT
+    if _fit_qblock(b, sq, skv, e, itemsize)[0]:
+        return "qblock", 0, None
+    return None, 0, None
+
+
 def _fused_pallas_raw(q, k, v, bias_kv, num_heads):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
-    bt = _fit_block(_BATCH_BLOCK, b, sq, skv, e, q.dtype.itemsize)
-    vmem_limit = None
-    if bt == 0:
-        # Raised-tier retry before abandoning the full-sequence grid:
-        # long streams whose deepened-pipeline footprint exceeds the
-        # default 16 MiB cap (ViLT 165-185 tok at batch >= 192) stay on
-        # the full-seq kernel with a 24 MiB scoped limit — measured
-        # 25-30% over the query-tiled fallback (docs/kernels.md).  Block
-        # default 8, not _BATCH_BLOCK: at every measured raised-tier
-        # point block 8 beat 16/32 (b=256: 1416 vs 1433/1718 us), the
-        # bigger blocks' extra VMEM pressure buying nothing.
-        bt = _fit_block(
-            8, b, sq, skv, e, q.dtype.itemsize,
-            budget=_RAISED_VMEM_BUDGET,
-        )
-        if bt:
-            vmem_limit = _RAISED_VMEM_LIMIT
-    if bt == 0:
+    kind, bt, vmem_limit = _fwd_plan(b, sq, skv, e, q.dtype.itemsize)
+    if kind == "qblock":
         return _fused_qblocked_raw(q, k, v, bias_kv, num_heads)
+    if kind is None:
+        # Unreachable through fused_attention (its guard IS _fwd_plan);
+        # direct raw callers get the numerics-identical XLA path.
+        return _attention_natural_xla(q, k, v, bias_kv, num_heads)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -486,11 +504,13 @@ def _fused_bwd_kernel(
     db_ref[:] = db_acc
 
 
-def _fused_bwd_pallas_raw(q, k, v, bias_kv, g, num_heads):
+def _fused_bwd_pallas_raw(q, k, v, bias_kv, g, num_heads, fit=None):
     b, sq, e = q.shape
     skv = k.shape[1]
     d = e // num_heads
-    bt, vmem_limit = _fit_bwd_block(b, sq, skv, e, q.dtype.itemsize)
+    # ``fit``: a precomputed _fit_bwd_block result — _fused_bwd passes its
+    # guard's fit down so the two sites cannot diverge.
+    bt, vmem_limit = fit or _fit_bwd_block(b, sq, skv, e, q.dtype.itemsize)
     pad = (-b) % bt
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -543,10 +563,10 @@ def _fused_fwd(q, k, v, bias_kv, num_heads):
 
 def _fused_bwd(num_heads, res, g):
     q, k, v, bias_kv = res
-    fit, _ = _fit_bwd_block(
+    fit = _fit_bwd_block(
         q.shape[0], q.shape[1], k.shape[1], q.shape[-1], q.dtype.itemsize
     )
-    if fit == 0:
+    if fit[0] == 0:
         # No lowerable backward block at this shape even under the raised
         # scoped-VMEM tiers: differentiate the numerics-identical XLA
         # path instead.
@@ -558,7 +578,7 @@ def _fused_bwd(num_heads, res, g):
         )
         return vjp(g.astype(q.dtype))
     dq, dk, dv, db = _fused_bwd_pallas_raw(
-        q, k, v, bias_kv, g.astype(q.dtype), num_heads
+        q, k, v, bias_kv, g.astype(q.dtype), num_heads, fit=fit
     )
     return dq, dk, dv, db.astype(bias_kv.dtype)
 
@@ -916,19 +936,10 @@ def fused_attention(q, k, v, bias=None, *, num_heads: int, force_xla: bool = Fal
 
 
 def _kernel_fits(b: int, sq: int, skv: int, e: int, itemsize: int) -> bool:
-    """True when SOME forward grid fits: the default-budget batch block,
-    the raised 24 MiB full-sequence tier, or the query-tiled grid — the
-    same order ``_fused_pallas_raw`` dispatches in.  Must stay in sync
-    with it: a shape this passes that no tier actually handles would
-    crash the kernel, and a shape this rejects that a tier handles
-    silently loses the kernel (both directions are pinned in
-    ``tests/test_ops.py``)."""
-    return (
-        _fit_block(_BATCH_BLOCK, b, sq, skv, e, itemsize) != 0
-        or _fit_block(8, b, sq, skv, e, itemsize,
-                      budget=_RAISED_VMEM_BUDGET) != 0
-        or _fit_qblock(b, sq, skv, e, itemsize)[0] != 0
-    )
+    """True when some forward grid fits — by construction the same
+    ladder ``_fused_pallas_raw`` dispatches through (both read
+    :func:`_fwd_plan`); tier coverage pinned in ``tests/test_ops.py``."""
+    return _fwd_plan(b, sq, skv, e, itemsize)[0] is not None
 
 
 def bias_vector(bias, b, skv):

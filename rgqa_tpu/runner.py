@@ -468,6 +468,21 @@ class GQARunner(ScoringMixin):
         Set ``RGQA_PROFILE_DIR`` to capture a ``jax.profiler`` trace of the
         first training steps.
         """
+        if (
+            self.cfg.train.update_weight_model
+            and self.cfg.train.strategy != "weight"
+        ):
+            # BEFORE any strategy dispatch: the flag must never be
+            # silently dropped (tests pin this warning).
+            import warnings
+
+            warnings.warn(
+                "--update_weight_model only applies with --strategy "
+                f"weight (got --strategy {self.cfg.train.strategy}); the "
+                "CLIP weight model will NOT be trained",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if self.cfg.train.strategy in ("resampling", "poem", "woods"):
             if getattr(self.cfg.train, "train_chunk", 1) > 1:
                 print(
@@ -485,16 +500,6 @@ class GQARunner(ScoringMixin):
                     "(joint model+CLIP step)", flush=True,
                 )
             return self.train_weight_model(resume)
-        if self.cfg.train.update_weight_model:
-            import warnings
-
-            warnings.warn(
-                "--update_weight_model only applies with --strategy "
-                f"weight (got --strategy {self.cfg.train.strategy}); the "
-                "CLIP weight model will NOT be trained",
-                RuntimeWarning,
-                stacklevel=2,
-            )
         cfg = self.cfg
         tcfg = cfg.train
         assert self.train_set is not None
@@ -806,8 +811,12 @@ class GQARunner(ScoringMixin):
         )
         img_row = {img_id: i for i, img_id in enumerate(uniq)}
         s = ccfg.image_size
+        # Scratch for this run only (the `cached` map doesn't persist, so
+        # a leftover file could never be trusted) — removed after the
+        # epoch loop; at GQA scale it is ~10 GB of dead disk otherwise.
+        pixel_cache_path = os.path.join(self.output, "clip_pixels_u8.npy")
         pixel_cache = np.lib.format.open_memmap(
-            os.path.join(self.output, "clip_pixels_u8.npy"),
+            pixel_cache_path,
             mode="w+", dtype=np.uint8, shape=(len(uniq), s, s, 3),
         )
         cached = np.zeros(len(uniq), bool)
@@ -884,6 +893,8 @@ class GQARunner(ScoringMixin):
                 epoch, state, epoch_start, last_loss, history, best_valid,
                 quesid2score, extra_save=save_clip,
             )
+        del pixel_cache
+        os.remove(pixel_cache_path)
         self.save("LAST", state)
         save_checkpoint(self.output, "LAST_clip", clip_state)
         self._export_clip_params(clip_path, clip_state.params)
@@ -906,8 +917,14 @@ class GQARunner(ScoringMixin):
             "config.json", "vocab.json", "merges.txt", "tokenizer.json"
         ):
             src = os.path.join(src_clip_path, name)
-            if os.path.exists(src):
-                shutil.copy(src, os.path.join(out, name))
+            dst = os.path.join(out, name)
+            # --clip_path may BE a previous run's export (continued
+            # adversarial training with the same --output): the files are
+            # already in place; shutil.copy would raise SameFileError.
+            if os.path.exists(src) and not (
+                os.path.exists(dst) and os.path.samefile(src, dst)
+            ):
+                shutil.copy(src, dst)
         save_checkpoint(out, "jax_params", params)
         return out
 
