@@ -60,8 +60,11 @@ def main():
     # single stream; since the raised-VMEM full-sequence tier
     # (ops/attention.py, docs/kernels.md) its throughput scales with
     # batch: 128 -> 3.59k, 256 -> 3.70k, 384 -> 3.76k q/s — same
-    # optimum batch as the other backbones.
-    default_batch = "384"
+    # optimum batch as the other backbones.  BUTD is the exception: its
+    # GRU scan leaves the MXU idle at 384 rows, and the per-step state is
+    # tiny, so batch 1536 lifts it 155.9k -> 207.0k q/s (measured at
+    # n=25) with no compile-budget risk (the GRU program is small).
+    default_batch = "1536" if backbone == "butd" else "384"
     batch_size = int(os.environ.get("RGQA_BENCH_BATCH", default_batch))
     host = example_batch(cfg, batch_size=batch_size, seed=0)
     if "feats" in host:
@@ -89,7 +92,16 @@ def main():
         params,
     )
 
-    iters = int(os.environ.get("RGQA_BENCH_ITERS", "10"))
+    # Scan length: with n chained iterations the ONE synchronous tunnel
+    # dispatch (~30-40 ms quiet) is amortized across n steps.  At the
+    # old n=10 that round trip was still 9% of the LXMERT window (and
+    # ~47% of BUTD's); n=50 saturates — measured lxmert 11,168 -> 12,210
+    # q/s at n=50 with n=100 flat at 12,208.  BUTD stays at n=25: its
+    # nested scan (outer chain x 40 GRU steps) blew the remote-compile
+    # budget at n=50 (>20 min, wedged the tunnel); n=25 compiles in ~4
+    # min and measures 207.0k q/s at the batch-1536 default.
+    default_iters = "25" if backbone == "butd" else "50"
+    iters = int(os.environ.get("RGQA_BENCH_ITERS", default_iters))
     # Default (None) auto-selects the fused Pallas attention kernel on TPU
     # (natural-layout VMEM-resident kernel + fused QKV projections;
     # measured 8.25k -> see BENCH history).  RGQA_BENCH_FUSED=0 forces the
