@@ -23,6 +23,11 @@ synthetic task (the answer is readable off a boosted feature dim), and
 RESULT (2026-08-19, CPU, hidden-64 2/1/1 LXMERT + RP trained 25 epochs
 on 768 synthetic questions, 768-question testdev + UQ):  see the table
 printed by the run — recorded in docs/kernels.md "Feats-wire int8".
+
+Round-4 addendum: a third arm scores the same split through the
+asymmetric-uint4 lattice of experiments/feats_wire_exp.py (QDQ view
+over the feature pack — int4 transport is measurement-only, so there
+is no flag to exercise); results in the same docs section.
 """
 
 import dataclasses
@@ -87,6 +92,33 @@ def main():
         "fpr95", "detection_error", "f1", "accuracy", "accuracy_accept",
         "accuracy_indomain",
     )
+    # Int4 arm: QDQ through the asymmetric uint4 lattice of
+    # experiments/feats_wire_exp.py (measurement-only — no shipped flag),
+    # applied as a feature-pack view so the exact feed path is reused.
+    # Lattice drift is what moves metrics; transport form is irrelevant.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from feats_wire_exp import quantize_feats_u4
+
+    class _QDQ4View:
+        def __init__(self, base):
+            self._base = base
+
+        def __getitem__(self, rows):
+            f = np.asarray(self._base[rows], np.float32)
+            p, s, z = quantize_feats_u4(f)
+            q = np.stack(
+                [p & 0xF, (p >> 4) & 0xF], axis=-1
+            ).reshape(*p.shape[:-1], -1)
+            return (q * s[..., None] + z[..., None]).astype(np.float32)
+
+    class _QDQ4Pack:
+        def __init__(self, pack):
+            self._pack = pack
+            self.features = _QDQ4View(pack.features)
+
+        def __getattr__(self, name):
+            return getattr(self._pack, name)
+
     for scorer_name in ("msp", "energy"):
         scorer = runner.make_scorer(scorer_name)
         base = runner.score_split(encoded, scorer=scorer)
@@ -98,19 +130,32 @@ def main():
             quant = runner.score_split(encoded, scorer=scorer)
         finally:
             runner.cfg = old
+        old_pack = encoded.features
+        try:
+            encoded.features = _QDQ4Pack(old_pack)
+            quant4 = runner.score_split(encoded, scorer=scorer)
+        finally:
+            encoded.features = old_pack
 
         m_base = evaluator.evaluate_quesid2ans(base)
         m_quant = evaluator.evaluate_quesid2ans(quant)
-        flips = sum(quant[q][0] != a for q, (a, _) in base.items())
-        drift = np.array([abs(quant[q][1] - s) for q, (_, s) in base.items()])
+        m_quant4 = evaluator.evaluate_quesid2ans(quant4)
         print(f"\n=== {scorer_name} (n={len(base)}) ===")
-        print(f"answer flips {flips}/{len(base)}; |dconf| mean "
-              f"{drift.mean():.2e} max {drift.max():.2e}")
-        print(f"{'metric':18s} {'exact':>9s} {'int8':>9s} {'delta':>9s}")
+        for name, arm in (("int8", quant), ("int4", quant4)):
+            flips = sum(arm[q][0] != a for q, (a, _) in base.items())
+            drift = np.array(
+                [abs(arm[q][1] - s) for q, (_, s) in base.items()]
+            )
+            print(f"{name}: answer flips {flips}/{len(base)}; |dconf| mean "
+                  f"{drift.mean():.2e} max {drift.max():.2e}")
+        print(f"{'metric':18s} {'exact':>9s} {'int8':>9s} {'d8':>8s} "
+              f"{'int4':>9s} {'d4':>8s}")
         for k in keys:
             if k in m_base:
-                d = m_quant[k] - m_base[k]
-                print(f"{k:18s} {m_base[k]:9.4f} {m_quant[k]:9.4f} {d:+9.4f}")
+                d8 = m_quant[k] - m_base[k]
+                d4 = m_quant4[k] - m_base[k]
+                print(f"{k:18s} {m_base[k]:9.4f} {m_quant[k]:9.4f} "
+                      f"{d8:+8.4f} {m_quant4[k]:9.4f} {d4:+8.4f}")
 
 
 if __name__ == "__main__":
