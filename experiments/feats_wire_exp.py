@@ -57,8 +57,10 @@ def quantize_feats_u4(feats: np.ndarray):
     because Faster-RCNN RoI features are post-ReLU (>= 0): a zero-point
     doubles the usable resolution vs symmetric int4.  Packing: even
     channels in the low nibble, odd channels in the high nibble, so the
-    wire payload is (B, R, D/2) uint8 = 36.9 KB/question.
+    wire payload is (B, R, D/2) uint8 = 36.9 KB/question.  Requires an
+    even channel dim D (true for the 2048-d RoI features).
     """
+    assert feats.shape[-1] % 2 == 0, "uint4 packing needs an even channel dim"
     lo = feats.min(axis=-1, keepdims=True).astype(np.float32)  # (B, R, 1)
     hi = feats.max(axis=-1, keepdims=True).astype(np.float32)
     scale = ((hi - lo) / 15.0 + 1e-12).astype(np.float32)
@@ -181,7 +183,7 @@ def main():
         ("prod_int4", run_int4),
     )
     results = {}
-    # Interleave A/B/A/B so tunnel drift hits both modes equally.
+    # Interleave all modes round-robin so tunnel drift hits each equally.
     for mode, fn in modes:
         fn()  # compile + warm
     for rep in range(2):

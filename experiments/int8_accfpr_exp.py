@@ -96,6 +96,10 @@ def main():
     # experiments/feats_wire_exp.py (measurement-only — no shipped flag),
     # applied as a feature-pack view so the exact feed path is reused.
     # Lattice drift is what moves metrics; transport form is irrelevant.
+    # NOTE: this dequantizes in f32, while the wire path (dequant_u4)
+    # rounds scale/zero through bfloat16 first — so the ablation isolates
+    # the lattice and slightly understates the real transport's drift
+    # (the shipped int8 path has the same f32-vs-bf16 asymmetry).
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from feats_wire_exp import quantize_feats_u4
 
@@ -112,6 +116,9 @@ def main():
             return (q * s[..., None] + z[..., None]).astype(np.float32)
 
     class _QDQ4Pack:
+        # Relies on EncodedGQA reading only `.features[rows]` at scoring
+        # time (boxes/index were consumed at encode time); every other
+        # attribute lookup falls through to the wrapped pack.
         def __init__(self, pack):
             self._pack = pack
             self.features = _QDQ4View(pack.features)
