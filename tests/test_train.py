@@ -409,3 +409,179 @@ class TestAsyncCheckpointing:
         # explicit barrier is also fine to call repeatedly
         wait_for_saves()
         wait_for_saves()
+
+
+class TestFullLoopTrajectoryParity:
+    """Train-LOOP parity vs the in-process torch reference: same weights,
+    same batches, same LR schedule — model + BCE loss + global clip 5.0 +
+    BertAdam composed over steps (``gqa_conf.py:140-243`` + BertAdam,
+    ``lxrt/optimization.py:52-180``).  Unit parity exists for each piece
+    (forward: test_torch_import, optimizer: TestBertAdamParity); this
+    pins the COMPOSITION, the strongest released-checkpoint-parity
+    substitute a zero-egress environment admits."""
+
+    N_STEPS = 12
+    LR = 1e-3
+    BATCH = 4
+    NUM_ANS = 9
+    SHAPE = dict(l_layers=2, x_layers=1, r_layers=1)
+
+    def _ref_setup(self, reference_dir, torch):
+        from test_torch_import import _stub_boto3
+
+        _stub_boto3()
+        sys.path.insert(0, str(reference_dir / "src"))
+        try:
+            from lxrt import modeling
+        finally:
+            sys.path.pop(0)
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            vocab_size=200, visual_feat_dim=16, num_objects=5,
+            hidden_dropout=0.0, attention_dropout=0.0, **self.SHAPE,
+        )
+        modeling.VISUAL_CONFIG.l_layers = self.SHAPE["l_layers"]
+        modeling.VISUAL_CONFIG.x_layers = self.SHAPE["x_layers"]
+        modeling.VISUAL_CONFIG.r_layers = self.SHAPE["r_layers"]
+        modeling.VISUAL_CONFIG.set_visual_dims(enc.visual_feat_dim, 4)
+        bcfg = modeling.BertConfig(
+            vocab_size_or_config_json_file=enc.vocab_size,
+            hidden_size=enc.hidden_size,
+            num_hidden_layers=2,
+            num_attention_heads=enc.num_heads,
+            intermediate_size=enc.intermediate_size,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        tnn = torch.nn
+
+        class RefGQATiny(tnn.Module):
+            """GQAModel re-assembled at module level (``gqa_model.py:
+            14-43``): LXRTFeatureExtraction('x') under the
+            ``lxrt_encoder.model`` naming + the logit_fc head, minus the
+            in-model tokenizer (ids are fed directly on both sides)."""
+
+            def __init__(self, num_answers):
+                super().__init__()
+                wrapper = tnn.Module()
+                wrapper.model = modeling.LXRTFeatureExtraction(bcfg, mode="x")
+                self.lxrt_encoder = wrapper
+                h = enc.hidden_size
+                self.logit_fc = tnn.Sequential(
+                    tnn.Linear(h, h * 2),
+                    modeling.GeLU(),
+                    modeling.BertLayerNorm(h * 2, eps=1e-12),
+                    tnn.Linear(h * 2, num_answers),
+                )
+
+            def forward(self, ids, seg, mask, feats, boxes):
+                x = self.lxrt_encoder.model(
+                    ids, seg, mask, visual_feats=(feats, boxes)
+                )
+                return self.logit_fc(x)
+
+        torch.manual_seed(0)
+        ref = RefGQATiny(self.NUM_ANS)
+        gen = torch.Generator().manual_seed(11)
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.02)
+        return modeling, enc, ref
+
+    def test_trajectory_matches_reference(self, reference_dir, tmp_path):
+        torch = pytest.importorskip("torch")
+        sys.path.insert(0, str(reference_dir / "src"))
+        try:
+            from lxrt.optimization import BertAdam as TorchBertAdam
+        finally:
+            sys.path.pop(0)
+        from rgqa_tpu.checkpoint import import_lxmert_gqa
+
+        _, enc, ref = self._ref_setup(reference_dir, torch)
+        torch.save(ref.state_dict(), tmp_path / "traj.pth")
+
+        cfg = ModelConfig(
+            backbone="lxmert", encoder=enc, num_answers=self.NUM_ANS,
+            max_text_len=7,
+        )
+        model, forward = build_model(cfg)
+        rng = np.random.default_rng(3)
+        batches = []
+        for i in range(self.N_STEPS):
+            b = example_batch(cfg, batch_size=self.BATCH, seed=100 + i)
+            tgt = np.zeros((self.BATCH, self.NUM_ANS), np.float32)
+            hot = rng.integers(0, self.NUM_ANS, self.BATCH)
+            tgt[np.arange(self.BATCH), hot] = 1.0
+            tgt[rng.random(tgt.shape) < 0.1] = 0.3  # some soft mass
+            b["target"] = tgt
+            batches.append(b)
+
+        # --- torch loop: BCE*K -> clip 5.0 -> BertAdam (gqa_conf defaults).
+        ref.train()
+        opt = TorchBertAdam(
+            list(ref.parameters()), lr=self.LR, warmup=0.1,
+            t_total=self.N_STEPS,
+        )
+        bce = torch.nn.BCEWithLogitsLoss()
+        torch_losses = []
+        for b in batches:
+            opt.zero_grad()
+            logit = ref(
+                torch.tensor(b["input_ids"], dtype=torch.long),
+                torch.tensor(b["segment_ids"], dtype=torch.long),
+                torch.tensor(b["input_mask"], dtype=torch.long),
+                torch.tensor(b["feats"]),
+                torch.tensor(b["boxes"]),
+            )
+            loss = bce(logit, torch.tensor(b["target"])) * logit.size(1)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(ref.parameters(), 5.0)
+            opt.step()
+            torch_losses.append(float(loss.detach()))
+        with torch.no_grad():
+            probe_t = ref(
+                torch.tensor(batches[0]["input_ids"], dtype=torch.long),
+                torch.tensor(batches[0]["segment_ids"], dtype=torch.long),
+                torch.tensor(batches[0]["input_mask"], dtype=torch.long),
+                torch.tensor(batches[0]["feats"]),
+                torch.tensor(batches[0]["boxes"]),
+            ).numpy()
+
+        # --- rebuild loop: identical weights via the importer.
+        jb0 = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jb0["input_ids"], jb0["input_mask"], jb0["segment_ids"],
+            jb0["feats"], jb0["boxes"],
+        )["params"]
+        params, missing, unused = import_lxmert_gqa(
+            params, str(tmp_path / "traj.pth"), **self.SHAPE
+        )
+        assert not missing and not unused
+        tx = bert_adam(self.LR, warmup=0.1, t_total=self.N_STEPS)
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.asarray, params), tx
+        )
+        step = make_train_step(forward, loss="bce", grad_clip=5.0,
+                               donate=False)
+        jax_losses = []
+        key = jax.random.PRNGKey(0)  # dropout=0: the key never matters
+        for b in batches:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            key, sub = jax.random.split(key)
+            state, aux = step(state, jb, sub)
+            jax_losses.append(float(aux["loss"]))
+        probe_j = np.asarray(
+            forward(state.params, jb0, deterministic=True)["logits"]
+        )
+
+        # Per-step losses agree through the whole trajectory (tolerance:
+        # f32 reduction-order drift compounds over 12 optimizer steps;
+        # measured max rel-diff 1.6e-7 on these shapes — >100x headroom).
+        np.testing.assert_allclose(
+            jax_losses, torch_losses, rtol=1e-4,
+            err_msg=f"loss trajectories diverged: {jax_losses} vs {torch_losses}",
+        )
+        # End-state logits on a probe batch: the parameters themselves
+        # stayed on the torch trajectory (measured max rel-diff 5.3e-7).
+        np.testing.assert_allclose(probe_j, probe_t, rtol=5e-4, atol=1e-5)
