@@ -43,6 +43,14 @@ def main(argv=None):
         "error — for serving/eval deployments, see --feed_int8 for the "
         "transport-only variant)",
     )
+    p.add_argument(
+        "--pack_pixels", metavar="IMG_ROOT",
+        help="also pre-decode the raw JPEGs under IMG_ROOT into a uint8 "
+        "PixelPack (<out>/pixels_<size>_<mode>) so ViLT/CLIP serving "
+        "reads memmap rows instead of paying per-image JPEG decode",
+    )
+    p.add_argument("--pixel_size", type=int, default=384)
+    p.add_argument("--pixel_mode", choices=("pad", "crop"), default="pad")
     args = p.parse_args(argv)
 
     from rgqa_tpu.data.tsv import pack_obj_tsv
@@ -60,6 +68,18 @@ def main(argv=None):
     )
     kind = "int8-quantized" if args.int8 else "f32"
     print(f"packed {len(packed)} images ({kind}) into {args.out}/features")
+
+    if args.pack_pixels:
+        from rgqa_tpu.data.images import pack_pixels
+
+        pdir = os.path.join(
+            args.out, f"pixels_{args.pixel_size}_{args.pixel_mode}"
+        )
+        pack = pack_pixels(
+            args.pack_pixels, pdir,
+            size=args.pixel_size, mode=args.pixel_mode,
+        )
+        print(f"packed {len(pack.img_ids)} images (uint8 pixels) into {pdir}")
 
 
 if __name__ == "__main__":

@@ -201,6 +201,13 @@ class DataConfig:
     # fit exempt themselves; training (incl. its per-epoch validation
     # and BEST selection) always feeds exact.
     feed_int8: bool = False
+    # Pixel transport for image backbones (ViLT): "u8" ships uint8 +
+    # real-pixel rect and normalizes in-jit — zero quantization error
+    # (the uint8 wire IS the source lattice; pad zeroing and the
+    # pad-patch mask travel as rect geometry; <= 1-ulp jit
+    # reassociation, ops/pixels.py) at 1/4 the f32 wire bytes and no
+    # host normalize.  "f32" keeps the legacy host-normalized feed.
+    pixel_wire: str = "u8"
 
 
 @dataclass(frozen=True)
@@ -286,6 +293,25 @@ def _build_parser() -> argparse.ArgumentParser:
         help="eval-only int8 RoI-feature transport with in-jit dequant "
         "(quarters the host->device bytes on wire-bound links; "
         "grad-at-eval scorers stay exact)",
+    )
+    p.add_argument(
+        "--pixel_wire", choices=("u8", "f32"), default="u8",
+        help="image-backbone pixel transport: u8 = uint8 + rect with "
+        "in-jit normalize (exact, 4x fewer bytes than f32); f32 = "
+        "legacy host-normalized feed",
+    )
+    # Serving (cli/serve.py) knobs — surfaced on the shared parser so the
+    # service shares every model/scorer/feed flag with the eval CLIs.
+    p.add_argument(
+        "--serve_stats", action="store_true",
+        help="serve: report per-record latency p50/p95/p99 (JSON on "
+        "stderr at shutdown)",
+    )
+    p.add_argument(
+        "--wave_timeout", type=float, default=0.05,
+        help="serve: max seconds a pending record waits for its wave to "
+        "fill before a partial wave is dispatched (shallow-queue "
+        "policy; 0 = always wait for a full wave)",
     )
     p.add_argument(
         "--eval_chunk", type=int, default=1,
@@ -488,6 +514,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             num_workers=ns.num_workers,
             synthetic=ns.synthetic,
             feed_int8=ns.feed_int8,
+            pixel_wire=ns.pixel_wire,
         ),
         output=ns.output,
         load=ns.load,

@@ -162,10 +162,16 @@ class EncodedGQA:
         drop_missing_images: bool = True,
         image2caps: Optional[Mapping[str, Sequence[str]]] = None,
         keep_uq_target: bool = False,
-        image_source=None,  # GQAImageSource for pixel backbones (ViLT/CLIP)
+        image_source=None,  # GQAImageSource/PixelPack for pixel backbones
+        pixel_wire: str = "f32",  # "u8": ship uint8 + rect, normalize in-jit
+        pixel_patch_size: int = 32,  # for the rect-derived pad-patch mask
     ):
         self.keep_uq_target = keep_uq_target
         self.image_source = image_source
+        if pixel_wire not in ("f32", "u8"):
+            raise ValueError(f"pixel_wire must be f32|u8, got {pixel_wire!r}")
+        self.pixel_wire = pixel_wire
+        self.pixel_patch_size = pixel_patch_size
         self.dataset = dataset
         self.features = features
         self.backbone = backbone
@@ -283,10 +289,26 @@ class EncodedGQA:
             batch["parse_n_words"] = self.parse_n_words[idx]
         rows = self.img_row[idx]
         if self.backbone == "vilt":
-            from rgqa_tpu.data.images import load_image_batch
-
             ids = [self.features.img_ids[r] for r in rows]
-            batch["pixels"] = load_image_batch(self.image_source, ids)
+            if self.pixel_wire == "u8":
+                # uint8 wire: pixels stay uint8 end-to-end on host; the
+                # forward adapter normalizes in-jit (zero quantization
+                # error, 1/4 the f32 wire bytes) and the pad-patch mask
+                # ships as geometry.
+                from rgqa_tpu.data.images import (
+                    load_image_batch_u8, rect_patch_mask,
+                )
+
+                u8, rects = load_image_batch_u8(self.image_source, ids)
+                batch["pixels_u8"] = u8
+                batch["pixel_rect"] = rects
+                batch["pixel_mask"] = rect_patch_mask(
+                    rects, self.image_source.size, self.pixel_patch_size
+                )
+            else:
+                from rgqa_tpu.data.images import load_image_batch
+
+                batch["pixels"] = load_image_batch(self.image_source, ids)
         else:
             batch["feats"] = np.asarray(self.features.features[rows], np.float32)
             batch["boxes"] = self.img_boxes[rows]

@@ -137,11 +137,28 @@ def _build_vilt(cfg: ModelConfig, dtype):
     )
 
     def forward(params, batch, *, deterministic=True, rng=None, **kw):
+        pixels = batch.get("pixels")
+        # An explicit pixel_mask kwarg (tests, callers probing the mask
+        # path) wins over the batch-carried one.
+        pixel_mask = kw.pop("pixel_mask", batch.get("pixel_mask"))
+        if pixels is None:
+            # uint8 wire (--pixel_wire u8): pixels ship as uint8 + the
+            # real-pixel rect and normalize INSIDE the jit — zero
+            # quantization error at 1/4 the bytes.  The pad-patch mask rides
+            # the batch (rect geometry, not pixel content): the model's
+            # content rule keys on exactly-zero post-normalize pixels,
+            # which the quantized wire must not be asked to reproduce.
+            from rgqa_tpu.ops.pixels import pixelbert_normalize_jnp
+
+            pixels = pixelbert_normalize_jnp(
+                batch["pixels_u8"], batch["pixel_rect"]
+            )
         return model.apply(
             {"params": params},
             batch["input_ids"],
             batch["input_mask"],
-            batch["pixels"],
+            pixels,
+            pixel_mask=pixel_mask,
             deterministic=deterministic,
             rngs=_dropout_rngs(rng),
             **kw,

@@ -266,13 +266,24 @@ class GQARunner(ScoringMixin):
             ) as f:
                 image2caps = json.load(f)
         if self.cfg.model.backbone == "vilt":
-            from rgqa_tpu.data.images import GQAImageSource
+            from rgqa_tpu.data.images import GQAImageSource, PixelPack
 
-            image_source = GQAImageSource(
-                os.path.join(self.cfg.data.data_root, "images"),
-                size=self.cfg.model.vilt_image_size,
-                mode=self.cfg.data.vilt_resize,
+            # Prefer a pre-decoded PixelPack (prepare_data --pack_pixels):
+            # serving reads uint8 rows off a memmap instead of paying
+            # ~25 ms/image of JPEG decode on the host core per epoch.
+            size = self.cfg.model.vilt_image_size
+            mode = self.cfg.data.vilt_resize
+            pack_dir = os.path.join(
+                self.cfg.data.data_root, f"pixels_{size}_{mode}"
             )
+            if os.path.isfile(os.path.join(pack_dir, "meta.json")):
+                image_source = PixelPack(pack_dir)
+            else:
+                image_source = GQAImageSource(
+                    os.path.join(self.cfg.data.data_root, "images"),
+                    size=size,
+                    mode=mode,
+                )
         return EncodedGQA(
             ds,
             self.features,
@@ -283,6 +294,8 @@ class GQARunner(ScoringMixin):
             image2caps=image2caps,
             keep_uq_target=self.cfg.model.uq_as_class,
             image_source=image_source,
+            pixel_wire=getattr(self.cfg.data, "pixel_wire", "f32"),
+            pixel_patch_size=self.cfg.model.vilt_patch_size,
         )
 
     def _init_params(self):
@@ -741,6 +754,12 @@ class GQARunner(ScoringMixin):
         from rgqa_tpu.models.clip import ClipModel
 
         def clip_similarity(clip_params, ids, mask, pixels):
+            if pixels.dtype == jnp.uint8:
+                # uint8 anchor-pixel wire: normalize inside the joint
+                # train-step jit (ops/pixels.py; 1/4 the f32 feed bytes).
+                from rgqa_tpu.ops.pixels import clip_normalize_jnp
+
+                pixels = clip_normalize_jnp(pixels)
             sim = clip_model.apply(
                 {"params": clip_params}, ids, mask, pixels,
                 method=ClipModel.cosine,
@@ -798,14 +817,14 @@ class GQARunner(ScoringMixin):
         source = GQAImageSource(image_root)
         from PIL import Image
 
-        from rgqa_tpu.scorers.clip import clip_normalize, clip_resize_crop
+        from rgqa_tpu.scorers.clip import clip_resize_crop
 
         # Decode-once pixel cache: each anchor JPEG is decoded + resized
         # ONE time across all epochs (on this one-core host a per-epoch
         # re-decode can starve the TPU step).  uint8 post-crop rows live
         # in a disk memmap (~150 KB/image at 224px — f32 in RAM would be
-        # 4x and GQA-scale doesn't fit); the cheap normalize runs per
-        # batch in the prefetch thread.
+        # 4x and GQA-scale doesn't fit); rows ship as uint8 and the
+        # normalize runs inside the train-step jit (clip_similarity).
         uniq = sorted(
             {self.dataset.id2datum[q]["img_id"] for q in self.train_set.question_ids}
         )
@@ -842,9 +861,12 @@ class GQARunner(ScoringMixin):
                     anchor_pixels(self.dataset.id2datum[q]["img_id"])
                     for q in qids
                 ])
+                # Ship the cached uint8 rows directly — clip_similarity
+                # normalizes in-jit, so the prefetch thread skips the
+                # f32 normalize AND the wire carries 1/4 the bytes.
                 batch = dict(
                     batch,
-                    pixels=clip_normalize(u8),
+                    pixels=u8,
                     clip_ids=ids,
                     clip_mask=mask,
                 )

@@ -168,14 +168,26 @@ class ClipScorer:
                 )
         self.model = model  # the flax module (train_weight_model re-applies it)
         self.params = jax.device_put(params)
+
+        # uint8 pixel wire: pixels ship as uint8 (the resize/crop output's
+        # native dtype) and the mean/std normalize runs INSIDE the jit —
+        # zero quantization error vs the host clip_normalize (same f32
+        # expression, <= 1-ulp jit reassociation; ops/pixels.py) at 1/4
+        # the f32 host->device bytes.  f32 pixels (already-normalized
+        # callers, e.g. the weight strategy's cached feed) pass through.
+        from rgqa_tpu.ops.pixels import clip_normalize_jnp
+
+        def _px(px):
+            return clip_normalize_jnp(px) if px.dtype == jnp.uint8 else px
+
         self._apply = jax.jit(
             lambda p, ids, mask, px: model.apply(
-                {"params": p}, ids, mask, px, method=ClipModel.cosine
+                {"params": p}, ids, mask, _px(px), method=ClipModel.cosine
             )
         )
         self._apply_img = jax.jit(
             lambda p, px: model.apply(
-                {"params": p}, px, method=ClipModel.image_features
+                {"params": p}, _px(px), method=ClipModel.image_features
             )
         )
         self._apply_txt = jax.jit(
@@ -186,8 +198,15 @@ class ClipScorer:
         self.logit_scale = float(np.exp(np.asarray(params["logit_scale"])))
 
     def _pixels(self, images) -> np.ndarray:
+        """Images -> uint8 (B, S, S, 3) for the u8 wire (already-decoded
+        uint8 arrays pass straight through)."""
         return np.stack(
-            [clip_preprocess(im, self.cfg.image_size) for im in images]
+            [
+                im
+                if isinstance(im, np.ndarray) and im.dtype == np.uint8
+                else clip_resize_crop(im, self.cfg.image_size)
+                for im in images
+            ]
         )
 
     def _pad(self, arr: np.ndarray) -> tuple[np.ndarray, int]:

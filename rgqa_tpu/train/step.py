@@ -58,7 +58,12 @@ def rp_augment(batch: dict, rng: jax.Array) -> dict:
     fields, and append with zero targets.
     """
     text_keys = [k for k in ("input_ids", "input_mask", "segment_ids", "token_ids") if k in batch]
-    vis_keys = [k for k in ("feats", "boxes", "pixels") if k in batch]
+    vis_keys = [
+        k
+        for k in ("feats", "boxes", "pixels", "pixels_u8", "pixel_rect",
+                  "pixel_mask")
+        if k in batch
+    ]
     first = batch[text_keys[0]]
     b = first.shape[0]
     shift = jax.random.randint(rng, (), 1, b)
@@ -179,7 +184,8 @@ def _treemix_augment(
         )
     for k in (*text_keys, *(["input_mask"] if "input_mask" in batch else [])):
         out[k] = jnp.concatenate([batch[k], mixed[k]], 0)
-    for k in ("feats", "boxes", "pixels"):
+    for k in ("feats", "boxes", "pixels", "pixels_u8", "pixel_rect",
+              "pixel_mask"):
         if k in batch:
             out[k] = jnp.concatenate([batch[k], batch[k]], 0)
     if mode.endswith("_v1"):

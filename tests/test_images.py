@@ -138,6 +138,169 @@ class TestPixelbert:
         assert clean.shape == auged.shape == (64, 64, 3)
 
 
+class TestPixelWireU8:
+    """The uint8 pixel transport adds ZERO quantization error vs the
+    legacy f32 feed: same f32 normalize expression on device (bitwise
+    in eager; <= 1-ulp reciprocal-multiply reassociation under jit),
+    pad zeroing and the pad-patch mask carried as rect geometry."""
+
+    def _img(self, w=300, h=100, seed=3):
+        from PIL import Image
+
+        rng = np.random.default_rng(seed)
+        return Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        )
+
+    def test_u8_split_matches_f32_transform(self):
+        from rgqa_tpu.data.images import (
+            pixelbert_normalize, pixelbert_transform, pixelbert_u8,
+        )
+
+        img = self._img()
+        for mode in ("pad", "crop"):
+            f32 = pixelbert_transform(img, 64, mode=mode)
+            u8, rect = pixelbert_u8(img, 64, mode=mode)
+            assert u8.dtype == np.uint8 and rect.dtype == np.int32
+            # bit-exact: identical f32 ops on the same uint8 source
+            np.testing.assert_array_equal(pixelbert_normalize(u8, rect), f32)
+        # pad-mode rect marks the real rows: h = round(100*64/300) = 21
+        u8, rect = pixelbert_u8(img, 64, mode="pad")
+        assert rect[2] == 21 and rect[3] == 64
+
+    def test_jnp_normalize_bit_exact(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.images import pixelbert_normalize, pixelbert_u8
+        from rgqa_tpu.ops.pixels import pixelbert_normalize_jnp
+
+        u8s, rects, hosts = [], [], []
+        for mode, seed in (("pad", 0), ("crop", 1), ("pad", 2)):
+            u8, rect = pixelbert_u8(self._img(seed=seed), 64, mode=mode)
+            u8s.append(u8)
+            rects.append(rect)
+            hosts.append(pixelbert_normalize(u8, rect))
+        got = np.asarray(
+            pixelbert_normalize_jnp(
+                jnp.asarray(np.stack(u8s)), jnp.asarray(np.stack(rects))
+            )
+        )
+        np.testing.assert_array_equal(got, np.stack(hosts))
+
+    def test_rect_mask_equals_model_content_mask(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.data.images import (
+            pixelbert_normalize, pixelbert_u8, rect_patch_mask,
+        )
+        from rgqa_tpu.models.vilt import ViltForGQA
+
+        size, patch = 64, 16
+        # Shapes that produce full, empty, and PARTIAL boundary patches
+        # (h=21 -> patch rows 1..2 partially real).
+        u8s, rects = [], []
+        for w, h in ((300, 100), (100, 300), (64, 64), (200, 90)):
+            u8, rect = pixelbert_u8(self._img(w, h), size, mode="pad")
+            u8s.append(u8)
+            rects.append(rect)
+        u8 = np.stack(u8s)
+        rects = np.stack(rects)
+        geo = rect_patch_mask(rects, size, patch)
+        pixels = np.stack(
+            [pixelbert_normalize(a, r) for a, r in zip(u8, rects)]
+        )
+        model = ViltForGQA.__new__(ViltForGQA)
+        object.__setattr__(model, "patch_size", patch)
+        content = np.asarray(
+            ViltForGQA.patch_valid_mask(model, jnp.asarray(pixels), jnp.int32)
+        )
+        np.testing.assert_array_equal(geo.astype(np.int32), content)
+
+    def test_vilt_forward_identity_u8_vs_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from rgqa_tpu.config import EncoderConfig, ModelConfig
+        from rgqa_tpu.data.images import (
+            pixelbert_normalize, pixelbert_u8, rect_patch_mask,
+        )
+        from rgqa_tpu.models.zoo import build_model, example_batch
+
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            vocab_size=128, l_layers=2, x_layers=0, r_layers=0,
+        )
+        cfg = ModelConfig(
+            backbone="vilt", encoder=enc, num_answers=7, max_text_len=6,
+            vilt_image_size=64, vilt_patch_size=16,
+        )
+        model, forward = build_model(cfg)
+        batch = example_batch(cfg, batch_size=2, seed=0)
+        u8s, rects = zip(
+            *(pixelbert_u8(self._img(seed=i), 64, mode="pad") for i in range(2))
+        )
+        u8 = np.stack(u8s)
+        rect = np.stack(rects)
+        batch["pixels"] = np.stack(
+            [pixelbert_normalize(a, r) for a, r in zip(u8, rect)]
+        )
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = model.init(
+            jax.random.PRNGKey(0), jb["input_ids"], jb["input_mask"],
+            jb["pixels"],
+        )["params"]
+
+        out_f32 = forward(params, jb, deterministic=True)["logits"]
+        b8 = {k: v for k, v in jb.items() if k != "pixels"}
+        b8["pixels_u8"] = jnp.asarray(u8)
+        b8["pixel_rect"] = jnp.asarray(rect)
+        b8["pixel_mask"] = jnp.asarray(rect_patch_mask(rect, 64, 16))
+        out_u8 = forward(params, b8, deterministic=True)["logits"]
+        np.testing.assert_array_equal(np.asarray(out_u8), np.asarray(out_f32))
+
+    def test_clip_normalize_jnp_matches_host(self):
+        import jax.numpy as jnp
+
+        from rgqa_tpu.ops.pixels import clip_normalize_jnp
+        from rgqa_tpu.scorers.clip import clip_normalize
+
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(clip_normalize_jnp(jnp.asarray(u8))),
+            clip_normalize(u8),
+        )
+
+    def test_pixel_pack_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from rgqa_tpu.data.images import (
+            GQAImageSource, PixelPack, load_image_batch_u8, pack_pixels,
+        )
+
+        img_root = tmp_path / "imgs"
+        os.makedirs(img_root)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            arr = rng.integers(0, 255, (100, 160 + i, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(img_root / f"g{i}.jpg")
+        pack = pack_pixels(str(img_root), str(tmp_path / "pack"), size=64)
+        assert sorted(pack.img_ids) == ["g0", "g1", "g2"]
+        src = GQAImageSource(str(img_root), size=64)
+        for g in pack.img_ids:
+            pu8, prect = pack.load_u8(g)
+            su8, srect = src.load_u8(g)
+            np.testing.assert_array_equal(pu8, su8)
+            np.testing.assert_array_equal(prect, srect)
+            np.testing.assert_array_equal(pack.load(g), src.load(g))
+        # reopen from disk + batch loader over the pack
+        pack2 = PixelPack(str(tmp_path / "pack"))
+        u8, rects = load_image_batch_u8(pack2, ["g2", "g0"])
+        assert u8.shape == (2, 64, 64, 3) and rects.shape == (2, 4)
+        with pytest.raises(ValueError):
+            pack2.load_u8("g0", rng=np.random.default_rng(0))
+
+
 class TestGlove:
     def test_build_matrix(self, tmp_path):
         from rgqa_tpu.models.butd import build_glove_matrix

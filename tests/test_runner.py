@@ -304,3 +304,46 @@ class TestRPTraining:
         runner = GQARunner(cfg)
         history = runner.train()
         assert np.isfinite(history["loss"][-1])
+
+
+class TestViltPixelWire:
+    def test_u8_wire_predictions_identical_to_f32(self, synth_root, tmp_path):
+        """--pixel_wire u8 (uint8 + rect wire, in-jit normalize) is
+        EXACT: prediction/score surface must match the legacy f32 feed
+        bit-for-bit through the full runner path."""
+        import dataclasses
+
+        from rgqa_tpu.config import EncoderConfig
+
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=2, x_layers=0, r_layers=0,
+        )
+
+        def run(pixel_wire, out):
+            cfg = _cfg(synth_root, out, batch_size=16)
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, backbone="vilt", encoder=enc,
+                    vilt_image_size=64, vilt_patch_size=16, max_text_len=12,
+                ),
+                data=dataclasses.replace(cfg.data, pixel_wire=pixel_wire),
+            )
+            runner = GQARunner(cfg, init_train=False)
+            ds = GQADataset(synth_root, "testdev", add_uq=True)
+            encoded = runner._encode(ds)
+            return runner.score_split(encoded)
+
+        u8 = run("u8", str(tmp_path / "u8"))
+        f32 = run("f32", str(tmp_path / "f32"))
+        assert u8.keys() == f32.keys() and len(u8) > 0
+        for q in u8:
+            assert u8[q][0] == f32[q][0], q
+            # Scores: zero quantization error; the only drift is XLA's
+            # reciprocal-multiply lowering of the in-jit /255 and /0.5
+            # (<= 1 f32 ulp on the pixels; measured score drift ~6e-8,
+            # vs the int8 feed's ~2e-3 |dconf|).
+            assert abs(u8[q][1] - f32[q][1]) <= 2e-6, (
+                q, u8[q][1], f32[q][1]
+            )
