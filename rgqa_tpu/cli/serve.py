@@ -23,6 +23,14 @@ face of the same scoring stack: any ``--scorer`` (msp/energy/odin/
 maha/dropout/branched), any backbone, ``--tau`` unused (raw confidence
 is emitted; thresholding is the consumer's call).
 
+Latency: ``--wave_timeout`` (default 50 ms) bounds how long a pending
+record waits for its wave to fill — a lone record pays one dispatch
+(~40-150 ms on a tunneled chip) plus the timeout, instead of blocking
+until ``batch_size * 64`` peers arrive.  ``--serve_stats`` reports
+per-record latency (arrival -> result written) p50/p95/p99 as one JSON
+line on stderr at shutdown (measured distributions:
+docs/kernels.md "Serving latency").
+
 Example:
     printf '%s\\n' '{"question_id": "q1", "sent": "is there a car?", "img_id": "synth_0"}' |
     python -m rgqa_tpu.cli.serve --synthetic --data_root /tmp/gqa \\
@@ -32,7 +40,10 @@ Example:
 from __future__ import annotations
 
 import json
+import queue as _queue
 import sys
+import threading
+import time
 
 from rgqa_tpu.config import parse_cli
 from rgqa_tpu.data import GQADataset
@@ -55,20 +66,79 @@ def _normalize(rec: dict) -> dict:
             "img_id": rec["img_id"], "label": rec.get("label", {})}
 
 
-def _waves(lines, wave_size):
-    """Group raw input lines into waves; parsing happens per record in
-    the serving loop so one bad line cannot kill the stream."""
-    wave = []
-    for line in lines:
-        line = line.strip()
-        if not line:
-            continue
-        wave.append(line)
-        if len(wave) >= wave_size:
-            yield wave
-            wave = []
+def _waves(lines, wave_size, timeout: float = 0.0):
+    """Group raw input lines into waves of ``(line, t_arrival)`` pairs.
+
+    Shallow-queue policy: a reader thread pulls lines as they arrive; a
+    wave is dispatched when it is FULL, or when the oldest pending
+    record has waited ``timeout`` seconds with the input idle — so a
+    lone record never waits for ``wave_size`` peers (at a full wave's
+    batch-pipeline efficiency cost, paid only when the queue is
+    shallow).  ``timeout=0`` restores strict full waves.  Parsing
+    happens per record in the serving loop so one bad line cannot kill
+    the stream."""
+    q: _queue.Queue = _queue.Queue(maxsize=wave_size * 2)
+    _END = object()
+
+    def reader():
+        try:
+            for line in lines:
+                line = line.strip()
+                if line:
+                    q.put((line, time.perf_counter()))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    wave: list = []
+    done = False
+    while not done:
+        if wave and timeout > 0:
+            wait = timeout - (time.perf_counter() - wave[0][1])
+            if wait <= 0:
+                yield wave
+                wave = []
+                continue
+        else:
+            wait = None
+        try:
+            item = q.get(timeout=wait)
+        except _queue.Empty:
+            continue  # oldest record timed out -> dispatch at loop top
+        if item is _END:
+            done = True
+        else:
+            wave.append(item)
+            if len(wave) >= wave_size:
+                yield wave
+                wave = []
     if wave:
         yield wave
+
+
+class _LatencyStats:
+    """Per-record service latency (arrival -> result written)."""
+
+    def __init__(self):
+        self.samples: list = []
+
+    def record(self, t_arrival: float):
+        self.samples.append(time.perf_counter() - t_arrival)
+
+    def summary(self) -> dict:
+        import numpy as np
+
+        if not self.samples:
+            return {"count": 0}
+        s = np.asarray(self.samples)
+        return {
+            "count": int(len(s)),
+            "p50_ms": round(float(np.percentile(s, 50)) * 1e3, 2),
+            "p95_ms": round(float(np.percentile(s, 95)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(s, 99)) * 1e3, 2),
+            "max_ms": round(float(s.max()) * 1e3, 2),
+        }
 
 
 def main(argv=None, stdin=None, stdout=None):
@@ -87,10 +157,12 @@ def main(argv=None, stdin=None, stdout=None):
     vocab_ds = runner.dataset
 
     wave_size = cfg.train.batch_size * _WAVE_BATCHES
+    stats = _LatencyStats() if getattr(ns, "serve_stats", False) else None
+    timeout = float(getattr(ns, "wave_timeout", 0.05) or 0.0)
     served = 0
-    for wave in _waves(stdin, wave_size):
-        rows, errors = [], []
-        for line in wave:
+    for wave in _waves(stdin, wave_size, timeout=timeout):
+        rows, arrivals, errors = [], {}, []
+        for line, t_in in wave:
             try:
                 rec = json.loads(line)
                 if not isinstance(rec, dict):
@@ -99,6 +171,7 @@ def main(argv=None, stdin=None, stdout=None):
                 if row["img_id"] not in runner.features:
                     raise KeyError(f"unknown img_id {row['img_id']!r}")
                 rows.append(row)
+                arrivals[row["question_id"]] = t_in
             except Exception as e:  # report, never stop the stream
                 errors.append({"record": line, "error": str(e)})
         for err in errors:
@@ -126,9 +199,13 @@ def main(argv=None, stdin=None, stdout=None):
                 ),
                 file=stdout,
             )
+            if stats is not None:
+                stats.record(arrivals[row["question_id"]])
         stdout.flush()
         served += len(rows)
     print(f"served {served} questions", file=sys.stderr)
+    if stats is not None:
+        print(json.dumps({"latency": stats.summary()}), file=sys.stderr)
     return served
 
 

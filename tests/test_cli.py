@@ -214,3 +214,63 @@ class TestCliPipeline:
         assert 0.0 < score < 1.0
         out_path = os.path.join(data, "ens_distill.json")
         assert os.path.exists(out_path)
+
+
+class TestServeLatency:
+    def test_waves_shallow_queue_timeout(self):
+        """A pending record must not wait for a full wave: with the
+        input idle past --wave_timeout, a partial wave dispatches."""
+        import time
+
+        from rgqa_tpu.cli.serve import _waves
+
+        def slow_lines():
+            yield "a\n"
+            yield "b\n"
+            time.sleep(0.5)  # input goes idle -> first wave times out
+            yield "c\n"
+
+        t0 = time.perf_counter()
+        waves = []
+        for w in _waves(slow_lines(), wave_size=100, timeout=0.05):
+            waves.append(([line for line, _ in w], time.perf_counter() - t0))
+        assert [w[0] for w in waves] == [["a", "b"], ["c"]]
+        # first wave left well before the 0.5 s input gap ended
+        assert waves[0][1] < 0.4
+        # timeout=0: strict full waves -> everything in one final flush
+        full = list(_waves(iter(["a\n", "b\n", "c\n"]), 100, timeout=0))
+        assert [line for line, _ in full[0]] == ["a", "b", "c"]
+
+    def test_serve_stats_shape(self, roots, capsys):
+        """--serve_stats: one JSON line on stderr with the latency
+        percentiles (the serving-latency contract)."""
+        import io
+
+        data, snap = roots
+        from rgqa_tpu.cli import serve
+
+        with open(os.path.join(data, "testdev.json")) as f:
+            questions = json.load(f)[:5]
+        lines = "\n".join(
+            json.dumps({"question_id": q["question_id"], "sent": q["sent"],
+                        "img_id": q["img_id"]})
+            for q in questions
+        )
+        out = io.StringIO()
+        served = serve.main(
+            FLAGS + ["--data_root", data, "--test", "testdev",
+                     "--load", os.path.join(snap, "LAST"),
+                     "--scorer", "msp", "--output", snap,
+                     "--serve_stats", "--wave_timeout", "0.02"],
+            stdin=io.StringIO(lines + "\n"),
+            stdout=out,
+        )
+        assert served == len(questions)
+        err_lines = [
+            l for l in capsys.readouterr().err.splitlines() if l.strip()
+        ]
+        stats = json.loads(err_lines[-1])["latency"]
+        assert stats["count"] == len(questions)
+        for k in ("p50_ms", "p95_ms", "p99_ms", "max_ms"):
+            assert stats[k] >= 0.0
+        assert stats["p50_ms"] <= stats["p95_ms"] <= stats["max_ms"]
