@@ -556,6 +556,16 @@ class ScoringMixin:
             for qid, (ans, s) in quesid2ans.items()
         }
         if dump:
+            # 4dp confidences, matching dump_predictions' contract (also
+            # keeps the dump mesh-shape invariant: raw f32 scores carry
+            # ~1-ulp program-dependent drift, tests/test_parallel_fullshape
+            # TestMeshInvariantScoring).
             with open(dump, "w") as f:
-                json.dump({q: list(v) for q, v in out.items()}, f)
+                json.dump(
+                    {
+                        q: [ans, round(float(s), 4)]
+                        for q, (ans, s) in out.items()
+                    },
+                    f,
+                )
         return {"tau": tau, "quesid2ans": out}

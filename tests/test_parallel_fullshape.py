@@ -198,3 +198,122 @@ class TestTwoProcessDistributed:
             norms.append(re.search(r"PNORM (\S+)", out).group(1))
         # identical post-step param norm on both processes == synced grads
         assert norms[0] == norms[1], norms
+
+
+class TestMeshInvariantScoring:
+    """The prediction JSON is the framework's public contract; its
+    content must be invariant to the device-mesh shape (SURVEY §2.3:
+    predictions collect over the data axis).  Train once, then score the
+    same split on 1x1, 8x1 and 4x2 meshes and require byte-identical
+    dumps — composed with --eval_chunk and --feed_int8."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        import dataclasses
+
+        from rgqa_tpu.config import (
+            DataConfig, EncoderConfig, ModelConfig, OODConfig, OptimConfig,
+            RunConfig, TrainConfig,
+        )
+        from rgqa_tpu.data import SyntheticSpec, make_synthetic_gqa
+        from rgqa_tpu.runner import GQARunner
+
+        root = str(tmp_path_factory.mktemp("mesh_inv_data"))
+        make_synthetic_gqa(
+            root,
+            SyntheticSpec(
+                n_images=16, n_train=64, n_valid=16, n_testdev=48,
+                num_boxes=6, feat_dim=64,
+            ),
+        )
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=1, x_layers=1, r_layers=1, num_objects=6,
+            visual_feat_dim=64,
+        )
+        out = str(tmp_path_factory.mktemp("mesh_inv_snap"))
+        cfg = RunConfig(
+            model=ModelConfig(backbone="lxmert", encoder=enc, max_text_len=10),
+            train=TrainConfig(
+                batch_size=16, epochs=2, optim=OptimConfig(lr=3e-3),
+                use_bf16=False,
+            ),
+            ood=OODConfig(scorer="msp", target_acc=0.15),
+            data=DataConfig(data_root=root, test_splits="testdev",
+                            synthetic=True),
+            output=out,
+        )
+        GQARunner(cfg).train()
+        return dataclasses.replace(
+            cfg, load=os.path.join(out, "LAST")
+        ), root
+
+    def _score_on_mesh(self, cfg, root, mesh_shape, out_dir,
+                       eval_chunk=1, feed_int8=False):
+        """(data, model) mesh -> (metrics, ood dump bytes, thresh dump
+        bytes, tau)."""
+        import dataclasses
+
+        import jax
+
+        from rgqa_tpu.data import GQADataset
+        from rgqa_tpu.parallel import make_mesh, shard_params
+        from rgqa_tpu.runner import GQARunner
+
+        data_ax, model_ax = mesh_shape
+        cfg = dataclasses.replace(
+            cfg,
+            output=out_dir,
+            train=dataclasses.replace(cfg.train, eval_chunk=eval_chunk),
+            data=dataclasses.replace(cfg.data, feed_int8=feed_int8),
+        )
+        runner = GQARunner(cfg, init_train=False)
+        devices = jax.devices()[: data_ax * model_ax]
+        runner.mesh = make_mesh(devices, model=model_ax)
+        runner.params = shard_params(runner.mesh, runner.params)
+        encoded = runner._encode(GQADataset(root, "testdev", add_uq=True))
+        os.makedirs(out_dir, exist_ok=True)
+        dump = os.path.join(out_dir, "ood_predict.json")
+        metrics = runner.ood_evaluate(encoded, dump=dump)
+        with open(dump, "rb") as f:
+            ood_bytes = f.read()
+        tdump = os.path.join(out_dir, "thresh_predict.json")
+        thresh = runner.predict_with_thresh(encoded, dump=tdump)
+        with open(tdump, "rb") as f:
+            thresh_bytes = f.read()
+        return metrics, ood_bytes, thresh_bytes, thresh["tau"]
+
+    def test_prediction_json_identical_across_meshes(self, trained, tmp_path):
+        cfg, root = trained
+        base = None
+        for shape in ((1, 1), (8, 1), (4, 2)):
+            got = self._score_on_mesh(
+                cfg, root, shape, str(tmp_path / f"m{shape[0]}x{shape[1]}")
+            )
+            if base is None:
+                base = got
+                continue
+            assert got[0] == base[0], f"metrics differ on {shape}"
+            assert got[1] == base[1], f"ood dump differs on {shape}"
+            assert got[2] == base[2], f"thresh dump differs on {shape}"
+            # tau interpolates RAW scores, which carry ~1-ulp
+            # program-dependent drift across mesh shapes.
+            assert abs(got[3] - base[3]) < 1e-5, f"tau differs on {shape}"
+
+    def test_invariance_composes_with_chunk_and_int8(self, trained, tmp_path):
+        cfg, root = trained
+        a = self._score_on_mesh(
+            cfg, root, (8, 1), str(tmp_path / "a"), eval_chunk=3,
+            feed_int8=True,
+        )
+        b = self._score_on_mesh(
+            cfg, root, (4, 2), str(tmp_path / "b"), eval_chunk=3,
+            feed_int8=True,
+        )
+        c = self._score_on_mesh(
+            cfg, root, (1, 1), str(tmp_path / "c"), eval_chunk=3,
+            feed_int8=True,
+        )
+        assert a[1] == b[1] == c[1]
+        assert a[2] == b[2] == c[2]
+        assert a[0] == b[0] == c[0]
