@@ -375,3 +375,88 @@ class TestDropoutKernel:
         lhs = float(jnp.sum(out.astype(jnp.float32) * g))
         rhs = float(jnp.sum(dv.astype(jnp.float32) * v))
         np.testing.assert_allclose(lhs, rhs, rtol=2e-3)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="scoped-VMEM cliffs are a Mosaic-toolchain property; "
+    "run with RGQA_TEST_TPU=1 on hardware",
+)
+class TestBlockFitBoundaryGrids:
+    """Compile the pipeline-deepening BOUNDARY grids against the live
+    Mosaic toolchain (VERDICT r4 weak #6): the fitter's cliffs (fwd 17 /
+    bwd 25 cells, ops/attention.py _fit_block) were calibrated
+    empirically on this toolchain, so a Mosaic upgrade that starts
+    deepening earlier would turn a believed-fitting config into a
+    scoped-VMEM OOM.  These compiles move that failure into a loud,
+    attributable test instead of a runtime crash in serving.
+    """
+
+    E, HEADS = 768, 12
+
+    def _qkv(self, b, s, dtype=jnp.bfloat16, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        mk = lambda k: (jax.random.normal(k, (b, s, self.E)) * 0.05).astype(dtype)
+        return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+    def test_fwd_just_under_cliff_compiles(self):
+        """ViLT 165-token block-8 grid at 16 cells (b=128): the fitter
+        selects the NON-doubled default-budget fit — it must compile and
+        run.  If Mosaic starts deepening at <= 16 cells, this OOMs."""
+        from rgqa_tpu.ops.attention import _fwd_plan, fused_attention
+
+        b, s = 128, 165
+        kind, bt, limit = _fwd_plan(b, s, s, self.E, 2)
+        assert (kind, bt, limit) == ("block", 8, None), (kind, bt, limit)
+        q, k, v = self._qkv(b, s)
+        out = jax.jit(
+            lambda q, k, v: fused_attention(q, k, v, num_heads=self.HEADS)
+        )(q, k, v)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def test_fwd_just_over_cliff_selected_plan_compiles(self):
+        """17 cells (b=136): the fitter assumes the deepened (doubled-io)
+        footprint; whatever tier it selects must compile and run."""
+        from rgqa_tpu.ops.attention import _fwd_plan, fused_attention
+
+        b, s = 136, 165
+        kind, bt, limit = _fwd_plan(b, s, s, self.E, 2)
+        assert kind is not None, "no kernel fits a shipped ViLT shape"
+        q, k, v = self._qkv(b, s)
+        out = jax.jit(
+            lambda q, k, v: fused_attention(q, k, v, num_heads=self.HEADS)
+        )(q, k, v)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def _bwd(self, b, s):
+        from rgqa_tpu.ops.attention import fused_attention
+
+        q, k, v = self._qkv(b, s)
+
+        def loss(q, k, v):
+            out = fused_attention(q, k, v, num_heads=self.HEADS)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+    def test_bwd_just_under_cliff_compiles(self):
+        """ODIN/Maha 36-token backward at 24 cells (b=384, block 16):
+        measured good on this toolchain; must keep compiling."""
+        from rgqa_tpu.ops.attention import _fit_bwd_block
+
+        bt, limit = _fit_bwd_block(384, 36, 36, self.E, 2)
+        assert (bt, limit) == (16, None), (bt, limit)
+        grads = self._bwd(384, 36)
+        for g in grads:
+            assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    def test_bwd_just_over_cliff_selected_plan_compiles(self):
+        """25 cells (b=400 at block 16): the fitter doubles the io
+        estimate; its selected (block, tier) must compile and run."""
+        from rgqa_tpu.ops.attention import _fit_bwd_block
+
+        bt, limit = _fit_bwd_block(400, 36, 36, self.E, 2)
+        assert bt != 0, "backward fell off the kernel at a shipped shape"
+        grads = self._bwd(400, 36)
+        for g in grads:
+            assert np.isfinite(np.asarray(g, np.float32)).all()
