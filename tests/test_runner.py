@@ -320,8 +320,8 @@ class TestViltPixelWire:
             l_layers=2, x_layers=0, r_layers=0,
         )
 
-        def run(pixel_wire, out):
-            cfg = _cfg(synth_root, out, batch_size=16)
+        def run(pixel_wire, out, use_bf16=False):
+            cfg = _cfg(synth_root, out, batch_size=16, use_bf16=use_bf16)
             cfg = dataclasses.replace(
                 cfg,
                 model=dataclasses.replace(
@@ -347,3 +347,16 @@ class TestViltPixelWire:
             assert abs(u8[q][1] - f32[q][1]) <= 2e-6, (
                 q, u8[q][1], f32[q][1]
             )
+
+        # bf16 serving (the production config): the 1-ulp f32 pixel
+        # drift can flip bf16 rounding on ~1/30k pixels, amplified by
+        # the patch conv — bound the score drift at the int8 feed's
+        # shipped tolerance and require near-total label agreement
+        # (ops/pixels.py fidelity story; measured mean ~4e-4 on the
+        # chip at full size).
+        u8b = run("u8", str(tmp_path / "u8b"), use_bf16=True)
+        f32b = run("f32", str(tmp_path / "f32b"), use_bf16=True)
+        flips = sum(u8b[q][0] != f32b[q][0] for q in u8b)
+        assert flips <= max(1, len(u8b) // 10), flips
+        drift = max(abs(u8b[q][1] - f32b[q][1]) for q in u8b)
+        assert drift <= 5e-3, drift
