@@ -86,8 +86,10 @@ def _waves(lines, wave_size, timeout: float = 0.0):
                 line = line.strip()
                 if line:
                     q.put((line, time.perf_counter()))
-        finally:
-            q.put(_END)
+        except BaseException as e:  # surface input errors on the consumer
+            q.put(e)
+            return
+        q.put(_END)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
@@ -108,6 +110,10 @@ def _waves(lines, wave_size, timeout: float = 0.0):
             continue  # oldest record timed out -> dispatch at loop top
         if item is _END:
             done = True
+        elif isinstance(item, BaseException):
+            if wave:
+                yield wave  # serve what arrived before the input died
+            raise item
         else:
             wave.append(item)
             if len(wave) >= wave_size:

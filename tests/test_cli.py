@@ -274,3 +274,20 @@ class TestServeLatency:
         for k in ("p50_ms", "p95_ms", "p99_ms", "max_ms"):
             assert stats[k] >= 0.0
         assert stats["p50_ms"] <= stats["p95_ms"] <= stats["max_ms"]
+
+    def test_waves_input_error_propagates(self):
+        """An input-iteration failure must surface on the consumer, after
+        serving whatever arrived before it."""
+        import time
+
+        from rgqa_tpu.cli.serve import _waves
+
+        def bad_lines():
+            yield "a\n"
+            raise IOError("stdin broke")
+
+        got = []
+        with pytest.raises(IOError, match="stdin broke"):
+            for w in _waves(bad_lines(), wave_size=100, timeout=0):
+                got.append([line for line, _ in w])
+        assert got == [["a"]]
