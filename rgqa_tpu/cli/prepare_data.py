@@ -49,8 +49,15 @@ def main(argv=None):
         "PixelPack (<out>/pixels_<size>_<mode>) so ViLT/CLIP serving "
         "reads memmap rows instead of paying per-image JPEG decode",
     )
-    p.add_argument("--pixel_size", type=int, default=384)
+    p.add_argument("--pixel_size", type=int, default=None,
+                   help="default 384 (pixelbert) / 224 (clip)")
     p.add_argument("--pixel_mode", choices=("pad", "crop"), default="pad")
+    p.add_argument(
+        "--pixel_transform", choices=("pixelbert", "clip"),
+        default="pixelbert",
+        help="pixelbert = ViLT rows (pad/crop + rect); clip = CLIP "
+        "shortest-edge + center-crop rows for the jitted CLIP scorer",
+    )
     args = p.parse_args(argv)
 
     from rgqa_tpu.data.tsv import pack_obj_tsv
@@ -72,12 +79,17 @@ def main(argv=None):
     if args.pack_pixels:
         from rgqa_tpu.data.images import pack_pixels
 
-        pdir = os.path.join(
-            args.out, f"pixels_{args.pixel_size}_{args.pixel_mode}"
+        size = args.pixel_size or (
+            224 if args.pixel_transform == "clip" else 384
         )
+        if args.pixel_transform == "clip":
+            pdir = os.path.join(args.out, f"pixels_clip_{size}")
+        else:
+            pdir = os.path.join(args.out, f"pixels_{size}_{args.pixel_mode}")
         pack = pack_pixels(
             args.pack_pixels, pdir,
-            size=args.pixel_size, mode=args.pixel_mode,
+            size=size, mode=args.pixel_mode,
+            transform=args.pixel_transform,
         )
         print(f"packed {len(pack.img_ids)} images (uint8 pixels) into {pdir}")
 

@@ -217,6 +217,9 @@ class PixelPack:
             meta = json.load(f)
         self.size = int(meta["size"])
         self.mode = meta["mode"]
+        # "pixelbert" (ViLT rows, pad/crop + rect) or "clip" (CLIP
+        # shortest-edge resize + center crop; rect always full).
+        self.transform = meta.get("transform", "pixelbert")
         self.img_ids = meta["img_ids"]
         self.index = {g: i for i, g in enumerate(self.img_ids)}
         n = len(self.img_ids)
@@ -241,6 +244,12 @@ class PixelPack:
         return self.pixels[row], self.rects[row]
 
     def load(self, img_id: str, *, rng=None) -> np.ndarray:
+        if self.transform != "pixelbert":
+            raise ValueError(
+                f"{self.transform!r} pack rows use their consumer's "
+                "normalize (ClipScorer takes the uint8 rows directly); "
+                "pixelbert_normalize does not apply"
+            )
         return pixelbert_normalize(*self.load_u8(img_id, rng=rng))
 
 
@@ -250,10 +259,34 @@ def pack_pixels(
     *,
     size: int = 384,
     mode: str = "pad",
+    transform: str = "pixelbert",
     img_ids: Optional[Sequence[str]] = None,
 ) -> PixelPack:
-    """Decode every JPEG under ``img_root`` once into a :class:`PixelPack`."""
-    source = GQAImageSource(img_root, size=size, mode=mode)
+    """Decode every JPEG under ``img_root`` once into a :class:`PixelPack`.
+
+    ``transform="pixelbert"`` stores ViLT rows (pad/crop + rect);
+    ``"clip"`` stores CLIP rows (shortest-edge bicubic + center crop at
+    ``size``, HF CLIPImageProcessor semantics) with a full rect — the
+    decode-side half of the CLIP pipeline, consumed as uint8 by the
+    jitted scorer."""
+    if transform == "clip":
+        from PIL import Image
+
+        from rgqa_tpu.scorers.clip import clip_resize_crop
+
+        def load_u8(img_id):
+            with Image.open(
+                os.path.join(img_root, f"{img_id}.jpg")
+            ) as im:
+                return (
+                    clip_resize_crop(im, size),
+                    np.asarray([0, 0, size, size], np.int32),
+                )
+    elif transform == "pixelbert":
+        source = GQAImageSource(img_root, size=size, mode=mode)
+        load_u8 = source.load_u8
+    else:
+        raise ValueError(f"transform must be pixelbert|clip, got {transform!r}")
     if img_ids is None:
         img_ids = sorted(
             os.path.splitext(f)[0]
@@ -271,11 +304,15 @@ def pack_pixels(
         shape=(len(img_ids), 4),
     )
     for i, img_id in enumerate(img_ids):
-        px[i], rects[i] = source.load_u8(img_id)
+        px[i], rects[i] = load_u8(img_id)
     px.flush()
     rects.flush()
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"size": size, "mode": mode, "img_ids": img_ids}, f)
+        json.dump(
+            {"size": size, "mode": mode, "transform": transform,
+             "img_ids": img_ids},
+            f,
+        )
     return PixelPack(out_dir)
 
 

@@ -402,12 +402,35 @@ class ScoringMixin:
         finetuned model's argmax, confidence = image-question cosine
         similarity from ``similarity(images, texts) -> scores`` (a
         ``scorers.clip.ClipScorer`` or any injected callable) over the raw
-        JPEGs under ``image_root``."""
+        JPEGs under ``image_root``.
+
+        When the scorer exposes its ``image_size`` (the jax ClipScorer
+        does) and a matching CLIP :class:`PixelPack` exists beside the
+        image root (``prepare_data --pack_pixels --pixel_transform
+        clip``), the pre-decoded uint8 rows feed the scorer directly —
+        skipping the per-image JPEG decode that otherwise caps this loop
+        at ~122 img/s on a one-core host (docs/kernels.md "Image
+        production scoring")."""
         from PIL import Image
 
-        from rgqa_tpu.data.images import GQAImageSource
+        from rgqa_tpu.data.images import GQAImageSource, PixelPack
 
         source = GQAImageSource(image_root)
+        pack = None
+        # ``similarity`` is usually the bound ``ClipScorer.scores`` —
+        # read image_size off the scorer behind it.
+        owner = getattr(similarity, "__self__", similarity)
+        scorer_size = getattr(owner, "image_size", None)
+        if scorer_size:
+            pack_dir = os.path.join(
+                os.path.dirname(os.path.abspath(image_root)),
+                f"pixels_clip_{scorer_size}",
+            )
+            if os.path.isfile(os.path.join(pack_dir, "meta.json")):
+                cand = PixelPack(pack_dir)
+                if cand.transform == "clip" and cand.size == scorer_size:
+                    pack = cand
+
         answers = self.predict(encoded)
         ds = encoded.dataset
         qids = list(encoded.question_ids)
@@ -417,8 +440,12 @@ class ScoringMixin:
             sents = [ds.id2datum[q]["sent"] for q in chunk]
             imgs = []
             for q in chunk:
-                with Image.open(source.path(ds.id2datum[q]["img_id"])) as im:
-                    imgs.append(im.convert("RGB"))
+                img_id = ds.id2datum[q]["img_id"]
+                if pack is not None and img_id in pack:
+                    imgs.append(pack.load_u8(img_id)[0])
+                else:
+                    with Image.open(source.path(img_id)) as im:
+                        imgs.append(im.convert("RGB"))
             scores = similarity(imgs, sents)
             for qid, sc in zip(chunk, scores):
                 quesid2ans[qid] = (answers[qid], float(sc))

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -266,6 +266,13 @@ class ClipScorer:
     # ------------------------------------------------------------------
     # Public surface
     # ------------------------------------------------------------------
+
+    @property
+    def image_size(self) -> Optional[int]:
+        """Pixel edge the scorer consumes — lets callers substitute
+        pre-decoded uint8 rows (a CLIP :class:`PixelPack`) for PIL
+        images.  None on the torch backend (its processor resizes)."""
+        return self.cfg.image_size if self.backend == "jax" else None
 
     def scores(self, images, texts: Sequence[str]) -> np.ndarray:
         """Cosine similarity per (image, text) pair

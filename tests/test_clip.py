@@ -378,6 +378,58 @@ class TestClipCliAndWeightStrategy:
         assert len(confs) > 1
         assert all(-1.01 <= c <= 1.01 for c in confs)
 
+    def test_clip_eval_uses_pixel_pack(self, clip_ckpt, synth, tmp_path,
+                                       monkeypatch):
+        """With a CLIP PixelPack beside the image root, clip_ood_evaluate
+        must feed the pre-decoded uint8 rows to the scorer (no JPEG
+        decode) and produce identical results to the PIL path."""
+        from rgqa_tpu.config import (
+            DataConfig, EncoderConfig, ModelConfig, OODConfig, RunConfig,
+            TrainConfig,
+        )
+        from rgqa_tpu.data import GQADataset
+        from rgqa_tpu.data.images import pack_pixels
+        from rgqa_tpu.runner import GQARunner
+        from rgqa_tpu.scorers.clip import ClipScorer
+
+        cfg = RunConfig(
+            model=ModelConfig(
+                backbone="lxmert",
+                encoder=EncoderConfig(
+                    hidden_size=32, num_heads=4, intermediate_size=64,
+                    l_layers=1, x_layers=1, r_layers=1, num_objects=36,
+                    visual_feat_dim=2048,
+                ),
+                max_text_len=12,
+            ),
+            train=TrainConfig(batch_size=8, epochs=1, use_bf16=False),
+            ood=OODConfig(),
+            data=DataConfig(data_root=synth, synthetic=True,
+                            test_splits="testdev"),
+            output=str(tmp_path / "snap_pack"),
+        )
+        runner = GQARunner(cfg, init_train=False)
+        encoded = runner._encode(GQADataset(synth, "testdev", add_uq=True))
+        scorer = ClipScorer(clip_ckpt, backend="jax", batch_size=8)
+        assert scorer.image_size
+        img_root = os.path.join(synth, "images")
+        base = runner.clip_ood_evaluate(encoded, scorer.scores, img_root)
+
+        pack_pixels(
+            img_root,
+            os.path.join(synth, f"pixels_clip_{scorer.image_size}"),
+            size=scorer.image_size, transform="clip",
+        )
+        import PIL.Image as PILImage
+
+        def boom(*a, **k):
+            raise AssertionError("JPEG decode path used despite the pack")
+
+        monkeypatch.setattr(PILImage, "open", boom)
+        packed = runner.clip_ood_evaluate(encoded, scorer.scores, img_root)
+        # Same resize/crop bytes -> same uint8 rows -> identical scores.
+        assert packed == base
+
     def test_weight_strategy_uses_clip(self, clip_ckpt, synth):
         """--strategy weight with --clip_path: negative-pair similarity
         comes from the CLIP towers (anchor image x negative question,

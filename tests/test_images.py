@@ -480,3 +480,33 @@ class TestPrepareData:
         packed = PackedFeatures(os.path.join(out, "features"))
         assert len(packed) == 5
         assert packed.features.shape[2] == 16
+
+
+class TestClipPixelPack:
+    def test_clip_pack_rows_and_meta(self, tmp_path):
+        from PIL import Image
+
+        from rgqa_tpu.data.images import PixelPack, pack_pixels
+        from rgqa_tpu.scorers.clip import clip_resize_crop
+
+        img_root = tmp_path / "imgs"
+        os.makedirs(img_root)
+        rng = np.random.default_rng(5)
+        for i in range(3):
+            arr = rng.integers(0, 255, (50, 80 + i, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(img_root / f"c{i}.jpg")
+        pack = pack_pixels(
+            str(img_root), str(tmp_path / "pack"), size=32, transform="clip"
+        )
+        assert pack.transform == "clip" and pack.size == 32
+        for g in pack.img_ids:
+            with Image.open(img_root / f"{g}.jpg") as im:
+                expect = clip_resize_crop(im, 32)
+            u8, rect = pack.load_u8(g)
+            np.testing.assert_array_equal(u8, expect)
+            np.testing.assert_array_equal(rect, [0, 0, 32, 32])
+        # pixelbert normalize does not apply to clip rows
+        with pytest.raises(ValueError, match="pixelbert_normalize"):
+            pack.load("c0")
+        # transform survives reopen
+        assert PixelPack(str(tmp_path / "pack")).transform == "clip"
