@@ -46,12 +46,16 @@ def main(argv=None):
     p.add_argument(
         "--pack_pixels", metavar="IMG_ROOT",
         help="also pre-decode the raw JPEGs under IMG_ROOT into a uint8 "
-        "PixelPack (<out>/pixels_<size>_<mode>) so ViLT/CLIP serving "
-        "reads memmap rows instead of paying per-image JPEG decode",
+        "PixelPack — <out>/pixels_<size>_<mode> (pixelbert/ViLT) or "
+        "<out>/pixels_clip_<size> (clip) — so serving reads memmap rows "
+        "instead of paying per-image JPEG decode",
     )
     p.add_argument("--pixel_size", type=int, default=None,
                    help="default 384 (pixelbert) / 224 (clip)")
-    p.add_argument("--pixel_mode", choices=("pad", "crop"), default="pad")
+    p.add_argument(
+        "--pixel_mode", choices=("pad", "crop"), default=None,
+        help="pixelbert only (default pad); clip has one geometry",
+    )
     p.add_argument(
         "--pixel_transform", choices=("pixelbert", "clip"),
         default="pixelbert",
@@ -83,12 +87,20 @@ def main(argv=None):
             224 if args.pixel_transform == "clip" else 384
         )
         if args.pixel_transform == "clip":
+            if args.pixel_mode is not None:
+                raise SystemExit(
+                    "--pixel_mode applies to --pixel_transform pixelbert "
+                    "only (clip always resizes shortest-edge + center "
+                    "crops)"
+                )
             pdir = os.path.join(args.out, f"pixels_clip_{size}")
+            mode = None
         else:
-            pdir = os.path.join(args.out, f"pixels_{size}_{args.pixel_mode}")
+            mode = args.pixel_mode or "pad"
+            pdir = os.path.join(args.out, f"pixels_{size}_{mode}")
         pack = pack_pixels(
             args.pack_pixels, pdir,
-            size=size, mode=args.pixel_mode,
+            size=size, mode=mode,
             transform=args.pixel_transform,
         )
         print(f"packed {len(pack.img_ids)} images (uint8 pixels) into {pdir}")

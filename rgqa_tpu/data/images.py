@@ -216,10 +216,15 @@ class PixelPack:
         with open(os.path.join(pack_dir, "meta.json")) as f:
             meta = json.load(f)
         self.size = int(meta["size"])
-        self.mode = meta["mode"]
+        self.mode = meta["mode"]  # None for transforms without a mode (clip)
         # "pixelbert" (ViLT rows, pad/crop + rect) or "clip" (CLIP
         # shortest-edge resize + center crop; rect always full).
         self.transform = meta.get("transform", "pixelbert")
+        # Absolute source image root the pack was built from — consumers
+        # auto-detecting a pack must check it matches the images they
+        # claim to score (a stale/foreign pack silently substituting
+        # different bytes would be undetectable otherwise).
+        self.img_root = meta.get("img_root")
         self.img_ids = meta["img_ids"]
         self.index = {g: i for i, g in enumerate(self.img_ids)}
         n = len(self.img_ids)
@@ -229,6 +234,12 @@ class PixelPack:
         )
         self.rects = np.memmap(
             os.path.join(pack_dir, "rects.bin"), np.int32, "r", shape=(n, 4)
+        )
+
+    def matches_source(self, image_root: str) -> bool:
+        """True iff this pack was built from ``image_root``."""
+        return self.img_root is not None and (
+            os.path.abspath(image_root) == self.img_root
         )
 
     def __contains__(self, img_id: str) -> bool:
@@ -258,7 +269,7 @@ def pack_pixels(
     out_dir: str,
     *,
     size: int = 384,
-    mode: str = "pad",
+    mode: Optional[str] = "pad",
     transform: str = "pixelbert",
     img_ids: Optional[Sequence[str]] = None,
 ) -> PixelPack:
@@ -270,6 +281,7 @@ def pack_pixels(
     decode-side half of the CLIP pipeline, consumed as uint8 by the
     jitted scorer."""
     if transform == "clip":
+        mode = None  # clip has one geometry: shortest-edge + center crop
         from PIL import Image
 
         from rgqa_tpu.scorers.clip import clip_resize_crop
@@ -310,7 +322,7 @@ def pack_pixels(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(
             {"size": size, "mode": mode, "transform": transform,
-             "img_ids": img_ids},
+             "img_root": os.path.abspath(img_root), "img_ids": img_ids},
             f,
         )
     return PixelPack(out_dir)

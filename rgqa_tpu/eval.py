@@ -418,17 +418,26 @@ class ScoringMixin:
         source = GQAImageSource(image_root)
         pack = None
         # ``similarity`` is usually the bound ``ClipScorer.scores`` —
-        # read image_size off the scorer behind it.
+        # the scorer behind it must EXPLICITLY declare it consumes raw
+        # uint8 rows (``consumes_uint8_rows``); injected callables that
+        # expect PIL images keep the decode path.  The pack must also
+        # have been built from this exact image root — a stale/foreign
+        # pack silently substituting different bytes is worse than the
+        # decode cost it saves.
         owner = getattr(similarity, "__self__", similarity)
         scorer_size = getattr(owner, "image_size", None)
-        if scorer_size:
+        if scorer_size and getattr(owner, "consumes_uint8_rows", False):
             pack_dir = os.path.join(
                 os.path.dirname(os.path.abspath(image_root)),
                 f"pixels_clip_{scorer_size}",
             )
             if os.path.isfile(os.path.join(pack_dir, "meta.json")):
                 cand = PixelPack(pack_dir)
-                if cand.transform == "clip" and cand.size == scorer_size:
+                if (
+                    cand.transform == "clip"
+                    and cand.size == scorer_size
+                    and cand.matches_source(image_root)
+                ):
                     pack = cand
 
         answers = self.predict(encoded)

@@ -273,12 +273,19 @@ class GQARunner(ScoringMixin):
             # ~25 ms/image of JPEG decode on the host core per epoch.
             size = self.cfg.model.vilt_image_size
             mode = self.cfg.data.vilt_resize
+            img_root = os.path.join(self.cfg.data.data_root, "images")
             pack_dir = os.path.join(
                 self.cfg.data.data_root, f"pixels_{size}_{mode}"
             )
+            image_source = None
             if os.path.isfile(os.path.join(pack_dir, "meta.json")):
-                image_source = PixelPack(pack_dir)
-            else:
+                cand = PixelPack(pack_dir)
+                # Only a pack built from THIS image root substitutes for
+                # decoding it (stale/foreign packs are silently-wrong
+                # pixels, not a cache hit).
+                if cand.matches_source(img_root):
+                    image_source = cand
+            if image_source is None:
                 image_source = GQAImageSource(
                     os.path.join(self.cfg.data.data_root, "images"),
                     size=size,

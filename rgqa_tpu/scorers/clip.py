@@ -274,6 +274,14 @@ class ClipScorer:
         images.  None on the torch backend (its processor resizes)."""
         return self.cfg.image_size if self.backend == "jax" else None
 
+    @property
+    def consumes_uint8_rows(self) -> bool:
+        """Explicit capability flag: ``scores`` accepts pre-resized
+        uint8 (image_size, image_size, 3) rows in place of PIL images
+        (the jax backend's u8 wire).  Pack auto-detection keys on this,
+        never on duck-typed attribute sniffing."""
+        return self.backend == "jax"
+
     def scores(self, images, texts: Sequence[str]) -> np.ndarray:
         """Cosine similarity per (image, text) pair
         (``gqa_clip.py:96-104``: logits_per_image / logit_scale.exp())."""

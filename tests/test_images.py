@@ -510,3 +510,83 @@ class TestClipPixelPack:
             pack.load("c0")
         # transform survives reopen
         assert PixelPack(str(tmp_path / "pack")).transform == "clip"
+
+
+class TestPixelPackSourceMatch:
+    """Pack auto-detection must require the pack to be built from the
+    exact image root being scored — a stale/foreign pack is silently
+    wrong pixels, not a cache hit."""
+
+    def _root(self, tmp_path):
+        from rgqa_tpu.data import SyntheticSpec, make_synthetic_gqa
+
+        root = str(tmp_path / "gqa")
+        make_synthetic_gqa(
+            root,
+            SyntheticSpec(n_images=8, n_train=16, n_valid=8, n_testdev=8,
+                          num_boxes=6, feat_dim=64),
+        )
+        return root
+
+    def test_matches_source(self, tmp_path):
+        from PIL import Image
+
+        from rgqa_tpu.data.images import pack_pixels
+
+        img_root = tmp_path / "imgs"
+        os.makedirs(img_root)
+        Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(
+            img_root / "a.jpg"
+        )
+        pack = pack_pixels(str(img_root), str(tmp_path / "p"), size=32)
+        assert pack.matches_source(str(img_root))
+        assert pack.matches_source(str(tmp_path / "x" / ".." / "imgs"))
+        assert not pack.matches_source(str(tmp_path))
+        # packs without a recorded source never match
+        meta = os.path.join(str(tmp_path / "p"), "meta.json")
+        m = json.load(open(meta))
+        del m["img_root"]
+        json.dump(m, open(meta, "w"))
+        from rgqa_tpu.data.images import PixelPack
+
+        assert not PixelPack(str(tmp_path / "p")).matches_source(
+            str(img_root)
+        )
+
+    def test_runner_vilt_pack_autodetect_and_foreign_reject(self, tmp_path):
+        from rgqa_tpu.config import (
+            DataConfig, EncoderConfig, ModelConfig, RunConfig, TrainConfig,
+        )
+        from rgqa_tpu.data import GQADataset
+        from rgqa_tpu.data.images import GQAImageSource, PixelPack, pack_pixels
+        from rgqa_tpu.runner import GQARunner
+
+        root = self._root(tmp_path)
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=1, x_layers=0, r_layers=0,
+        )
+        cfg = RunConfig(
+            model=ModelConfig(backbone="vilt", encoder=enc, max_text_len=8,
+                              vilt_image_size=64, vilt_patch_size=16),
+            train=TrainConfig(batch_size=8, use_bf16=False),
+            data=DataConfig(data_root=root, synthetic=True,
+                            test_splits="testdev"),
+            output=str(tmp_path / "snap"),
+        )
+        runner = GQARunner(cfg, init_train=False)
+        ds = GQADataset(root, "testdev", add_uq=True)
+        # no pack -> JPEG source
+        assert isinstance(runner._encode(ds).image_source, GQAImageSource)
+        # matching pack -> picked up
+        pack_pixels(
+            os.path.join(root, "images"),
+            os.path.join(root, "pixels_64_pad"), size=64,
+        )
+        assert isinstance(runner._encode(ds).image_source, PixelPack)
+        # foreign source recorded -> rejected, decode path kept
+        meta = os.path.join(root, "pixels_64_pad", "meta.json")
+        m = json.load(open(meta))
+        m["img_root"] = "/somewhere/else/images"
+        json.dump(m, open(meta, "w"))
+        assert isinstance(runner._encode(ds).image_source, GQAImageSource)
