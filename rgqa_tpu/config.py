@@ -208,6 +208,12 @@ class DataConfig:
     # reassociation, ops/pixels.py) at 1/4 the f32 wire bytes and no
     # host normalize.  "f32" keeps the legacy host-normalized feed.
     pixel_wire: str = "u8"
+    # ViLT train-time photometric randaug (the reference ViLT dataset's
+    # pixelbert_randaug transform, gqa_data.py:341).  Train split only —
+    # eval pixels stay deterministic; a PixelPack cannot serve the
+    # augmented train split (rows are pre-resized), so the train split
+    # decodes raw JPEGs while eval may still ride the pack.
+    vilt_randaug: bool = True
 
 
 @dataclass(frozen=True)
@@ -293,6 +299,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="eval-only int8 RoI-feature transport with in-jit dequant "
         "(quarters the host->device bytes on wire-bound links; "
         "grad-at-eval scorers stay exact)",
+    )
+    p.add_argument(
+        "--no_randaug", action="store_true",
+        help="disable ViLT train-time photometric randaug (the reference "
+        "pixelbert_randaug transform; eval is always un-augmented)",
     )
     p.add_argument(
         "--pixel_wire", choices=("u8", "f32"), default="u8",
@@ -515,6 +526,7 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> tuple[RunConfig, argparse
             synthetic=ns.synthetic,
             feed_int8=ns.feed_int8,
             pixel_wire=ns.pixel_wire,
+            vilt_randaug=not ns.no_randaug,
         ),
         output=ns.output,
         load=ns.load,

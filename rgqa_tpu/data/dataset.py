@@ -172,6 +172,10 @@ class EncodedGQA:
             raise ValueError(f"pixel_wire must be f32|u8, got {pixel_wire!r}")
         self.pixel_wire = pixel_wire
         self.pixel_patch_size = pixel_patch_size
+        # Train-time photometric augmentation (reference ViLT
+        # pixelbert_randaug): set by the runner on TRAIN encodings only;
+        # None keeps image loads deterministic (every eval surface).
+        self.image_augment_rng = None
         self.dataset = dataset
         self.features = features
         self.backbone = backbone
@@ -290,6 +294,7 @@ class EncodedGQA:
         rows = self.img_row[idx]
         if self.backbone == "vilt":
             ids = [self.features.img_ids[r] for r in rows]
+            aug_rng = self.image_augment_rng
             if self.pixel_wire == "u8":
                 # uint8 wire: pixels stay uint8 end-to-end on host; the
                 # forward adapter normalizes in-jit (zero quantization
@@ -299,7 +304,9 @@ class EncodedGQA:
                     load_image_batch_u8, rect_patch_mask,
                 )
 
-                u8, rects = load_image_batch_u8(self.image_source, ids)
+                u8, rects = load_image_batch_u8(
+                    self.image_source, ids, rng=aug_rng
+                )
                 batch["pixels_u8"] = u8
                 batch["pixel_rect"] = rects
                 batch["pixel_mask"] = rect_patch_mask(
@@ -308,7 +315,9 @@ class EncodedGQA:
             else:
                 from rgqa_tpu.data.images import load_image_batch
 
-                batch["pixels"] = load_image_batch(self.image_source, ids)
+                batch["pixels"] = load_image_batch(
+                    self.image_source, ids, rng=aug_rng
+                )
         else:
             batch["feats"] = np.asarray(self.features.features[rows], np.float32)
             batch["boxes"] = self.img_boxes[rows]

@@ -99,7 +99,7 @@ class GQARunner(ScoringMixin):
         if init_train:
             ds = GQADataset(root, data.train_splits, add_uq=True)
             self.dataset = ds
-            self.train_set = self._encode(ds)
+            self.train_set = self._encode(ds, train=True)
             if data.valid_splits:
                 vds = GQADataset(root, data.valid_splits, add_uq=True)
                 self.valid_set = self._encode(vds)
@@ -257,7 +257,7 @@ class GQARunner(ScoringMixin):
         p["w_emb"]["embedding"] = mat.astype(emb.dtype)
         self.params = shard_params(self.mesh, p)
 
-    def _encode(self, ds: GQADataset) -> EncodedGQA:
+    def _encode(self, ds: GQADataset, *, train: bool = False) -> EncodedGQA:
         image2caps = None
         image_source = None
         if self.cfg.model.backbone == "caps":
@@ -277,8 +277,16 @@ class GQARunner(ScoringMixin):
             pack_dir = os.path.join(
                 self.cfg.data.data_root, f"pixels_{size}_{mode}"
             )
+            # Train-time randaug (the reference ViLT dataset's
+            # pixelbert_randaug transform, gqa_data.py:341) needs raw
+            # images — pre-resized pack rows can't be photometrically
+            # augmented, so the TRAIN split keeps the JPEG source while
+            # eval splits may still ride the pack.
+            randaug = train and getattr(self.cfg.data, "vilt_randaug", True)
             image_source = None
-            if os.path.isfile(os.path.join(pack_dir, "meta.json")):
+            if not randaug and os.path.isfile(
+                os.path.join(pack_dir, "meta.json")
+            ):
                 cand = PixelPack(pack_dir)
                 # Only a pack built from THIS image root substitutes for
                 # decoding it (stale/foreign packs are silently-wrong
@@ -291,7 +299,7 @@ class GQARunner(ScoringMixin):
                     size=size,
                     mode=mode,
                 )
-        return EncodedGQA(
+        encoded = EncodedGQA(
             ds,
             self.features,
             tokenizer=self.tokenizer,
@@ -304,6 +312,18 @@ class GQARunner(ScoringMixin):
             pixel_wire=getattr(self.cfg.data, "pixel_wire", "f32"),
             pixel_patch_size=self.cfg.model.vilt_patch_size,
         )
+        if (
+            train
+            and self.cfg.model.backbone == "vilt"
+            and getattr(self.cfg.data, "vilt_randaug", True)
+        ):
+            # Per-batch photometric randaug (reference pixelbert_randaug):
+            # gather_batch threads this generator into the image loads.
+            # Eval/scoring splits leave it None — deterministic pixels.
+            encoded.image_augment_rng = np.random.default_rng(
+                self.cfg.train.seed
+            )
+        return encoded
 
     def _init_params(self):
         batch = example_batch(self.model_cfg, batch_size=2, seed=0)
@@ -1066,8 +1086,8 @@ class GQARunner(ScoringMixin):
         tcfg = cfg.train
         pos_ds = GQADataset(cfg.data.data_root, cfg.data.train_pos, add_uq=True)
         neg_ds = GQADataset(cfg.data.data_root, cfg.data.train_neg, add_uq=True)
-        pos_set = self._encode(pos_ds)
-        neg_set = self._encode(neg_ds)
+        pos_set = self._encode(pos_ds, train=True)
+        neg_set = self._encode(neg_ds, train=True)
         self.dataset = pos_ds
 
         n_batches = len(pos_set) // tcfg.batch_size

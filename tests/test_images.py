@@ -590,3 +590,73 @@ class TestPixelPackSourceMatch:
         m["img_root"] = "/somewhere/else/images"
         json.dump(m, open(meta, "w"))
         assert isinstance(runner._encode(ds).image_source, GQAImageSource)
+
+
+class TestViltTrainRandaug:
+    """Reference parity: the ViLT dataset applies pixelbert_randaug at
+    train time (gqa_data.py:341).  Train encodes thread an augment rng
+    into the image loads; eval pixels stay deterministic."""
+
+    def _runner(self, tmp_path, **data_kw):
+        from rgqa_tpu.config import (
+            DataConfig, EncoderConfig, ModelConfig, RunConfig, TrainConfig,
+        )
+        from rgqa_tpu.data import SyntheticSpec, make_synthetic_gqa
+        from rgqa_tpu.runner import GQARunner
+
+        root = str(tmp_path / "gqa")
+        if not os.path.exists(root):
+            make_synthetic_gqa(
+                root,
+                SyntheticSpec(n_images=8, n_train=16, n_valid=8,
+                              n_testdev=8, num_boxes=6, feat_dim=64),
+            )
+        enc = EncoderConfig(
+            hidden_size=32, num_heads=4, intermediate_size=64,
+            l_layers=1, x_layers=0, r_layers=0,
+        )
+        cfg = RunConfig(
+            model=ModelConfig(backbone="vilt", encoder=enc, max_text_len=8,
+                              vilt_image_size=64, vilt_patch_size=16),
+            train=TrainConfig(batch_size=8, use_bf16=False),
+            data=DataConfig(data_root=root, synthetic=True,
+                            test_splits="testdev", **data_kw),
+            output=str(tmp_path / "snap"),
+        )
+        return GQARunner(cfg), root
+
+    def test_train_augments_eval_does_not(self, tmp_path):
+        runner, root = self._runner(tmp_path)
+        assert runner.train_set.image_augment_rng is not None
+        idx = np.arange(4)
+        a = runner.train_set.gather_batch(idx)["pixels_u8"]
+        b = runner.train_set.gather_batch(idx)["pixels_u8"]
+        assert not np.array_equal(a, b)  # photometric aug varies
+        assert runner.valid_set.image_augment_rng is None
+        va = runner.valid_set.gather_batch(idx)["pixels_u8"]
+        vb = runner.valid_set.gather_batch(idx)["pixels_u8"]
+        np.testing.assert_array_equal(va, vb)
+
+    def test_no_randaug_flag_disables(self, tmp_path):
+        runner, _ = self._runner(tmp_path, vilt_randaug=False)
+        assert runner.train_set.image_augment_rng is None
+        idx = np.arange(4)
+        a = runner.train_set.gather_batch(idx)["pixels_u8"]
+        b = runner.train_set.gather_batch(idx)["pixels_u8"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_train_split_skips_pack_when_augmenting(self, tmp_path):
+        from rgqa_tpu.data.images import GQAImageSource, PixelPack, pack_pixels
+
+        runner, root = self._runner(tmp_path)
+        pack_pixels(
+            os.path.join(root, "images"),
+            os.path.join(root, "pixels_64_pad"), size=64,
+        )
+        from rgqa_tpu.data import GQADataset
+
+        train_ds = GQADataset(root, "train", add_uq=True)
+        tr = runner._encode(train_ds, train=True)
+        assert isinstance(tr.image_source, GQAImageSource)  # raw for aug
+        ev = runner._encode(GQADataset(root, "testdev", add_uq=True))
+        assert isinstance(ev.image_source, PixelPack)  # eval rides the pack
