@@ -159,6 +159,25 @@ def main(argv=None, stdin=None, stdout=None):
         )
 
     runner = GQARunner(cfg, init_train=cfg.ood.scorer == "maha")
+    if cfg.train.use_bf16:
+        # Serving holds no optimizer state, so the f32 master params are
+        # dead weight here: bf16 resident params halve the one-time
+        # device upload (the dominant init cost over a tunnel — measured
+        # in docs/kernels.md "Serving latency") and the per-forward HBM
+        # weight traffic, matching bench.py's serving convention.  A
+        # bf16 model already computes in bf16 either way; --fp32 keeps
+        # exact f32 serving.  Grad-at-eval scorers (ODIN/maha) keep
+        # their own input-precision exemptions — those apply to the
+        # FEED, not the resident params.
+        import jax
+        import jax.numpy as jnp
+
+        runner.params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            runner.params,
+        )
     scorer = runner.make_scorer()
     vocab_ds = runner.dataset
 

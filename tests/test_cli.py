@@ -291,3 +291,44 @@ class TestServeLatency:
             for w in _waves(bad_lines(), wave_size=100, timeout=0):
                 got.append([line for line, _ in w])
         assert got == [["a"]]
+
+    def test_serve_bf16_casts_resident_params(self, roots, monkeypatch):
+        """Without --fp32, serving casts the f32 master params to bf16
+        (half the upload + HBM weight traffic; bench.py's convention)."""
+        import io
+
+        import jax.numpy as jnp
+
+        from rgqa_tpu.cli import serve
+
+        captured = {}
+        real_runner = serve.GQARunner
+
+        def capture(cfg, **kw):
+            r = real_runner(cfg, **kw)
+            captured["runner"] = r
+            return r
+
+        monkeypatch.setattr(serve, "GQARunner", capture)
+        data, snap = roots
+        flags = [
+            f for f in FLAGS if f != "--fp32"
+        ]  # bf16 default ON
+        out = io.StringIO()
+        served = serve.main(
+            flags + ["--data_root", data, "--test", "testdev",
+                     "--load", os.path.join(snap, "LAST"),
+                     "--scorer", "msp", "--output", snap],
+            stdin=io.StringIO(json.dumps(
+                {"question_id": "q1", "sent": "is there a car?",
+                 "img_id": json.load(open(os.path.join(data, "testdev.json")))[0]["img_id"]}
+            ) + "\n"),
+            stdout=out,
+        )
+        assert served == 1
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(captured["runner"].params)
+        assert all(
+            l.dtype in (jnp.bfloat16, jnp.int32, jnp.int8) for l in leaves
+        ), {l.dtype for l in leaves}
