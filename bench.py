@@ -84,13 +84,11 @@ def main():
         )
     params = model.init(jax.random.PRNGKey(0), *init_args)["params"]
     # Inference serves from bf16 weights: halves HBM weight traffic
-    # (training keeps f32 master params; this is the serving path).
-    params = jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
-        ),
-        params,
-    )
+    # (training keeps f32 master params; this is the serving path —
+    # shared convention with cli/serve.py).
+    from rgqa_tpu.runner import cast_params_bf16
+
+    params = jax.device_put(cast_params_bf16(params))
 
     # Scan length: with n chained iterations the ONE synchronous tunnel
     # dispatch (~30-40 ms quiet) is amortized across n steps.  At the

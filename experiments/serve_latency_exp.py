@@ -41,12 +41,21 @@ def main():
     from rgqa_tpu.runner import GQARunner
 
     root = os.path.join(tempfile.gettempdir(), "gqa_serve_exp")
-    if not os.path.exists(os.path.join(root, "testdev.json")):
-        make_synthetic_gqa(
-            root,
-            SyntheticSpec(n_images=64, n_train=128, n_valid=64,
-                          n_testdev=768),
-        )
+    spec = SyntheticSpec(n_images=64, n_train=128, n_valid=64,
+                         n_testdev=768)
+    # Cache keyed on the spec: a changed spec must regenerate, not
+    # silently reuse stale data.
+    marker = os.path.join(root, "spec.json")
+    spec_key = repr(vars(spec))
+    if not (
+        os.path.exists(marker) and open(marker).read() == spec_key
+    ):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        make_synthetic_gqa(root, spec)
+        with open(marker, "w") as f:
+            f.write(spec_key)
 
     cfg, _ = parse_cli([
         "--synthetic", "--data_root", root, "--test", "testdev",
@@ -78,11 +87,18 @@ def main():
         return runner.score_split(encoded, scorer=scorer)
 
     bs = int(os.environ.get("RGQA_SERVE_BATCH", "128"))
-    wave(rows_all[:bs])  # warm: compile the serve-batch path
+    t0 = time.perf_counter()
+    wave(rows_all[:bs])  # first wave: pays the scoring-program compile
+    first_wave_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     wave(rows_all[:1])  # 1-record wave warms nothing new (same padded shape)
-    print(f"init_wall {init_wall:6.1f}s (one-time per serve process, "
-          f"incl. compiles); warm probe done at +{time.perf_counter()-t0:.1f}s")
+    print(
+        f"init_wall {init_wall:6.1f}s (runner construction: model init "
+        f"compile + param materialization — batch-independent, "
+        f"tunnel-load dependent); first_wave {first_wave_wall:6.1f}s "
+        f"(scoring-program compile at batch {bs}); warm probe "
+        f"+{time.perf_counter()-t0:.1f}s"
+    )
 
     for n in WAVE_SIZES:
         times = []

@@ -24,12 +24,15 @@ maha/dropout/branched), any backbone, ``--tau`` unused (raw confidence
 is emitted; thresholding is the consumer's call).
 
 Latency: ``--wave_timeout`` (default 50 ms) bounds how long a pending
-record waits for its wave to fill — a lone record pays one dispatch
-(~40-150 ms on a tunneled chip) plus the timeout, instead of blocking
-until ``batch_size * 64`` peers arrive.  ``--serve_stats`` reports
+record waits for its wave to fill — a lone record pays one WAVE COST
+plus the timeout, instead of blocking until ``batch_size * 64`` peers
+arrive.  The wave cost scales with ``--batchSize`` (a 1-record wave
+pads to the compiled batch): measured ~1.2 s at batch 128 vs 86 ms at
+batch 8 on the tunneled v5e, at no sustained-throughput cost on that
+wire-bound link — run a latency tier at a small ``--batchSize``
+(docs/kernels.md "Serving latency").  ``--serve_stats`` reports
 per-record latency (arrival -> result written) p50/p95/p99 as one JSON
-line on stderr at shutdown (measured distributions:
-docs/kernels.md "Serving latency").
+line on stderr at shutdown.
 
 Example:
     printf '%s\\n' '{"question_id": "q1", "sent": "is there a car?", "img_id": "synth_0"}' |
@@ -161,23 +164,19 @@ def main(argv=None, stdin=None, stdout=None):
     runner = GQARunner(cfg, init_train=cfg.ood.scorer == "maha")
     if cfg.train.use_bf16:
         # Serving holds no optimizer state, so the f32 master params are
-        # dead weight here: bf16 resident params halve the one-time
-        # device upload (the dominant init cost over a tunnel — measured
-        # in docs/kernels.md "Serving latency") and the per-forward HBM
-        # weight traffic, matching bench.py's serving convention.  A
-        # bf16 model already computes in bf16 either way; --fp32 keeps
-        # exact f32 serving.  Grad-at-eval scorers (ODIN/maha) keep
-        # their own input-precision exemptions — those apply to the
-        # FEED, not the resident params.
-        import jax
-        import jax.numpy as jnp
+        # dead weight here: bf16 resident params halve the per-forward
+        # HBM weight traffic and resident memory (bench.py's serving
+        # convention; one jitted cast — see cast_params_bf16).  The
+        # one-time f32 param UPLOAD already happened inside the runner's
+        # load path, so this does not shrink init cost — a host-side
+        # restore-and-cast would, noted as future work in
+        # docs/kernels.md "Serving latency".  A bf16 model computes in
+        # bf16 either way; --fp32 keeps exact f32 serving.  Grad-at-eval
+        # scorers' input-precision exemptions apply to the FEED, not the
+        # resident params.
+        from rgqa_tpu.runner import cast_params_bf16
 
-        runner.params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32
-            else x,
-            runner.params,
-        )
+        runner.params = cast_params_bf16(runner.params)
     scorer = runner.make_scorer()
     vocab_ds = runner.dataset
 

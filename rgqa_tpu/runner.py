@@ -60,7 +60,7 @@ from rgqa_tpu.train import (
     make_train_step,
 )
 
-__all__ = ["GQARunner"]
+__all__ = ["GQARunner", "cast_params_bf16", "np_params"]
 
 
 class GQARunner(ScoringMixin):
@@ -1206,3 +1206,29 @@ class GQARunner(ScoringMixin):
 
 def np_params(params):
     return jax.tree_util.tree_map(np.asarray, params)
+
+
+def _cast_leaf_bf16(x):
+    return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+
+
+@jax.jit
+def _cast_tree_bf16(params):
+    return jax.tree_util.tree_map(_cast_leaf_bf16, params)
+
+
+def cast_params_bf16(params):
+    """f32 leaves -> bf16: the serving convention (no optimizer state ->
+    no f32 masters needed; halves per-forward HBM weight traffic and
+    resident memory).  Shared by bench.py and cli/serve.py so the
+    convention cannot fork.
+
+    Host (numpy) trees cast in-place on host — the cheap path, and the
+    one that also halves a subsequent device upload.  Device trees cast
+    in ONE jitted dispatch: an eager per-leaf ``astype`` would pay a
+    synchronous round trip per leaf on remote/tunneled chips
+    (docs/kernels.md "Dispatch anatomy")."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if all(isinstance(l, np.ndarray) for l in leaves):
+        return jax.tree_util.tree_map(_cast_leaf_bf16, params)
+    return _cast_tree_bf16(params)

@@ -311,6 +311,15 @@ class TestServeLatency:
 
         monkeypatch.setattr(serve, "GQARunner", capture)
         data, snap = roots
+        if not os.path.isdir(os.path.join(snap, "LAST")):
+            # Self-sufficient when selected alone (the pipeline test
+            # normally populates the module-scoped snap).
+            from rgqa_tpu.cli import train
+
+            train.main(
+                FLAGS + ["--data_root", data, "--epochs", "1",
+                         "--lr", "3e-3", "--output", snap]
+            )
         flags = [
             f for f in FLAGS if f != "--fp32"
         ]  # bf16 default ON
